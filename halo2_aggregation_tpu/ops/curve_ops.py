@@ -1,0 +1,219 @@
+"""Batched BN254 G1 arithmetic on TPU: Jacobian point ops over Fq limbs.
+
+The TPU-native replacement for the EC arithmetic the reference delegates to
+halo2wrong's `BaseFieldEccChip` (`/root/reference/src/verifier.rs:156-174`,
+`mul_var` at `/root/reference/src/multiopen.rs:393` — its dominant cost).
+
+Representation:
+* Affine: ``(x, y, inf)`` — x, y are (..., 32) Montgomery-form Fq limbs,
+  inf is a (...,) bool mask (TPU-friendly: no Option types, no branches).
+* Jacobian: ``(X, Y, Z)`` with Z == 0 encoding infinity, so the unified
+  add/double formulas need no control flow — everything is `where`-selects
+  over the batch, which is exactly what the VPU wants.
+
+Scalars are (..., 32) plain (non-Montgomery) 8-bit limbs of the Fr value.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..fields import CURVE_B, G1_GEN, LIMB_BITS, NLIMBS
+from . import field_ops as fo
+from .field_ops import FQ
+
+
+class AffinePoint(NamedTuple):
+    x: jax.Array  # (..., 32) mont Fq
+    y: jax.Array  # (..., 32) mont Fq
+    inf: jax.Array  # (...,) bool
+
+
+class JacPoint(NamedTuple):
+    x: jax.Array
+    y: jax.Array
+    z: jax.Array  # z == 0 <=> infinity
+
+
+def jac_identity(batch_shape=()):
+    zero = jnp.zeros((*batch_shape, NLIMBS), jnp.int32)
+    one = jnp.broadcast_to(jnp.asarray(FQ.one_mont), (*batch_shape, NLIMBS)).astype(
+        jnp.int32
+    )
+    return JacPoint(one, one, zero)
+
+
+def affine_to_jac(p: AffinePoint) -> JacPoint:
+    one = jnp.broadcast_to(jnp.asarray(FQ.one_mont), p.x.shape).astype(jnp.int32)
+    z = fo.select(p.inf, jnp.zeros_like(p.x), one)
+    return JacPoint(p.x, p.y, z)
+
+
+@jax.jit
+def jac_double(p: JacPoint) -> JacPoint:
+    """dbl-2009-l; Z=0 (infinity) maps to Z3=0 automatically."""
+    A = fo.mont_sq(p.x, FQ)
+    B = fo.mont_sq(p.y, FQ)
+    C = fo.mont_sq(B, FQ)
+    t = fo.mont_sq(fo.add(p.x, B, FQ), FQ)
+    D = fo.sub(fo.sub(t, A, FQ), C, FQ)
+    D = fo.add(D, D, FQ)  # 2((X+B)^2 - A - C)
+    E = fo.add(fo.add(A, A, FQ), A, FQ)  # 3A
+    F = fo.mont_sq(E, FQ)
+    x3 = fo.sub(F, fo.add(D, D, FQ), FQ)
+    C8 = fo.add(C, C, FQ)
+    C8 = fo.add(C8, C8, FQ)
+    C8 = fo.add(C8, C8, FQ)
+    y3 = fo.sub(fo.mont_mul(E, fo.sub(D, x3, FQ), FQ), C8, FQ)
+    z3 = fo.mont_mul(fo.add(p.y, p.y, FQ), p.z, FQ)
+    return JacPoint(x3, y3, z3)
+
+
+@jax.jit
+def jac_add(p: JacPoint, q: JacPoint) -> JacPoint:
+    """Unified Jacobian + Jacobian addition with branchless edge handling:
+    p==inf -> q; q==inf -> p; p==q -> double; p==-q -> inf."""
+    z1z1 = fo.mont_sq(p.z, FQ)
+    z2z2 = fo.mont_sq(q.z, FQ)
+    u1 = fo.mont_mul(p.x, z2z2, FQ)
+    u2 = fo.mont_mul(q.x, z1z1, FQ)
+    s1 = fo.mont_mul(p.y, fo.mont_mul(q.z, z2z2, FQ), FQ)
+    s2 = fo.mont_mul(q.y, fo.mont_mul(p.z, z1z1, FQ), FQ)
+    h = fo.sub(u2, u1, FQ)
+    r = fo.sub(s2, s1, FQ)
+
+    h2 = fo.mont_sq(h, FQ)
+    h3 = fo.mont_mul(h2, h, FQ)
+    u1h2 = fo.mont_mul(u1, h2, FQ)
+    x3 = fo.sub(fo.sub(fo.mont_sq(r, FQ), h3, FQ), fo.add(u1h2, u1h2, FQ), FQ)
+    y3 = fo.sub(
+        fo.mont_mul(r, fo.sub(u1h2, x3, FQ), FQ), fo.mont_mul(s1, h3, FQ), FQ
+    )
+    z3 = fo.mont_mul(fo.mont_mul(p.z, q.z, FQ), h, FQ)
+
+    p_inf = fo.is_zero(p.z)
+    q_inf = fo.is_zero(q.z)
+    h_zero = fo.is_zero(h)
+    r_zero = fo.is_zero(r)
+    both = ~p_inf & ~q_inf
+
+    dbl = jac_double(p)
+    use_dbl = both & h_zero & r_zero
+    # p == -q: result infinity (z3 = 0 already since h == 0 -> z3 == 0) —
+    # but x3/y3 are garbage; z==0 is all that matters downstream.
+    x = fo.select(use_dbl, dbl.x, x3)
+    y = fo.select(use_dbl, dbl.y, y3)
+    z = fo.select(use_dbl, dbl.z, z3)
+    # identity cases
+    x = fo.select(q_inf, p.x, fo.select(p_inf, q.x, x))
+    y = fo.select(q_inf, p.y, fo.select(p_inf, q.y, y))
+    z = fo.select(q_inf, p.z, fo.select(p_inf, q.z, z))
+    return JacPoint(x, y, z)
+
+
+@jax.jit
+def jac_neg(p: JacPoint) -> JacPoint:
+    return JacPoint(p.x, fo.neg(p.y, FQ), p.z)
+
+
+@jax.jit
+def jac_to_affine(p: JacPoint) -> AffinePoint:
+    """Batch conversion; infinity encoded in the inf mask."""
+    zinv = fo.inv(p.z, FQ)  # 0 -> 0
+    zinv2 = fo.mont_sq(zinv, FQ)
+    x = fo.mont_mul(p.x, zinv2, FQ)
+    y = fo.mont_mul(p.y, fo.mont_mul(zinv2, zinv, FQ), FQ)
+    return AffinePoint(x, y, fo.is_zero(p.z))
+
+
+def scalar_bits_msb(scalars, nbits: int = 256):
+    """(..., 32) plain limbs -> (nbits, ...) bit array, MSB first."""
+    idx = np.arange(nbits - 1, -1, -1)
+    limb = idx // LIMB_BITS
+    shift = idx % LIMB_BITS
+    cols = scalars[..., limb]  # (..., nbits)
+    bits = (cols >> jnp.asarray(shift)) & 1
+    return jnp.moveaxis(bits, -1, 0)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def scalar_mul(p: JacPoint, scalars, nbits: int = 256) -> JacPoint:
+    """Batched variable-base scalar multiplication (the `mul_var` analog),
+    MSB-first double-and-add under lax.scan."""
+    bits = scalar_bits_msb(scalars, nbits)
+
+    def step(acc, bit):
+        acc = jac_double(acc)
+        added = jac_add(acc, p)
+        mask = bit.astype(bool)
+        acc = JacPoint(
+            fo.select(mask, added.x, acc.x),
+            fo.select(mask, added.y, acc.y),
+            fo.select(mask, added.z, acc.z),
+        )
+        return acc, None
+
+    acc0 = jac_identity(p.x.shape[:-1])
+    acc, _ = lax.scan(step, acc0, bits)
+    return acc
+
+
+@jax.jit
+def jac_sum(p: JacPoint) -> JacPoint:
+    """Tree-reduce a batch of points along axis 0 to a single point."""
+    n = p.x.shape[0]
+    while n > 1:
+        half = n // 2
+        a = JacPoint(p.x[:half], p.y[:half], p.z[:half])
+        b = JacPoint(p.x[half : 2 * half], p.y[half : 2 * half], p.z[half : 2 * half])
+        s = jac_add(a, b)
+        if n % 2:
+            s = JacPoint(
+                jnp.concatenate([s.x, p.x[-1:]]),
+                jnp.concatenate([s.y, p.y[-1:]]),
+                jnp.concatenate([s.z, p.z[-1:]]),
+            )
+        p = s
+        n = s.x.shape[0]
+    return JacPoint(p.x[0], p.y[0], p.z[0])
+
+
+# ---------------------------------------------------------------------------
+# host-side codecs (oracle interop)
+# ---------------------------------------------------------------------------
+
+
+def affine_from_ints(points) -> AffinePoint:
+    """List of oracle points ((x, y) or None) -> batched AffinePoint."""
+    xs, ys, infs = [], [], []
+    for pt in points:
+        if pt is None:
+            xs.append(0)
+            ys.append(0)
+            infs.append(True)
+        else:
+            xs.append(pt[0])
+            ys.append(pt[1])
+            infs.append(False)
+    return AffinePoint(
+        jnp.asarray(FQ.to_mont_array(xs)),
+        jnp.asarray(FQ.to_mont_array(ys)),
+        jnp.asarray(np.array(infs)),
+    )
+
+
+def affine_to_ints(p: AffinePoint) -> list:
+    xs = FQ.from_mont_array(p.x)
+    ys = FQ.from_mont_array(p.y)
+    infs = np.asarray(p.inf).reshape(-1)
+    return [None if i else (x, y) for x, y, i in zip(xs, ys, infs)]
+
+
+def jac_to_ints(p: JacPoint) -> list:
+    return affine_to_ints(jac_to_affine(p))
