@@ -8,7 +8,7 @@ role the halo2wrong `BaseFieldEccChip` plays for the reference
 
 from __future__ import annotations
 
-from ..fields import Q, CURVE_B, G1_GEN
+from ..fields import Q, CURVE_B, G1_GEN, R as R_ORDER
 
 
 def g1_is_on_curve(p):
@@ -60,12 +60,94 @@ def g1_mul(p, k: int):
     return acc
 
 
+# -- Jacobian helpers (host perf: no per-add inversion) ---------------------
+
+
+def _jac_add(p, q):
+    if p is None:
+        return q
+    if q is None:
+        return p
+    x1, y1, z1 = p
+    x2, y2, z2 = q
+    z1z1 = z1 * z1 % Q
+    z2z2 = z2 * z2 % Q
+    u1 = x1 * z2z2 % Q
+    u2 = x2 * z1z1 % Q
+    s1 = y1 * z2 % Q * z2z2 % Q
+    s2 = y2 * z1 % Q * z1z1 % Q
+    if u1 == u2:
+        if (s1 + s2) % Q == 0:
+            return None
+        return _jac_double(p)
+    h = (u2 - u1) % Q
+    r = (s2 - s1) % Q
+    h2 = h * h % Q
+    h3 = h2 * h % Q
+    u1h2 = u1 * h2 % Q
+    x3 = (r * r - h3 - 2 * u1h2) % Q
+    y3 = (r * (u1h2 - x3) - s1 * h3) % Q
+    z3 = z1 * z2 % Q * h % Q
+    return (x3, y3, z3)
+
+
+def _jac_double(p):
+    if p is None:
+        return None
+    x1, y1, z1 = p
+    a = x1 * x1 % Q
+    b = y1 * y1 % Q
+    c = b * b % Q
+    d = 2 * ((x1 + b) * (x1 + b) - a - c) % Q
+    e = 3 * a % Q
+    f = e * e % Q
+    x3 = (f - 2 * d) % Q
+    y3 = (e * (d - x3) - 8 * c) % Q
+    z3 = 2 * y1 * z1 % Q
+    return (x3, y3, z3)
+
+
+def _to_jac(p):
+    return None if p is None else (p[0], p[1], 1)
+
+
+def _from_jac(p):
+    if p is None or p[2] == 0:
+        return None
+    zinv = pow(p[2], -1, Q)
+    zi2 = zinv * zinv % Q
+    return (p[0] * zi2 % Q, p[1] * zi2 % Q * zinv % Q)
+
+
 def g1_msm(points, scalars):
-    """Naive multi-scalar multiplication oracle."""
+    """Windowed (Pippenger) MSM with Jacobian accumulation — the fast host
+    oracle behind commit_lagrange when device MSM is off."""
+    pairs = [(p, int(s)) for p, s in zip(points, scalars, strict=True) if p is not None and int(s) % R_ORDER]
+    if not pairs:
+        return None
+    c = 8 if len(pairs) >= 32 else 4
+    nwin = (254 + c - 1) // c
     acc = None
-    for p, s in zip(points, scalars, strict=True):
-        acc = g1_add(acc, g1_mul(p, s))
-    return acc
+    for w in range(nwin - 1, -1, -1):
+        if acc is not None:
+            for _ in range(c):
+                acc = _jac_double(acc)
+        buckets = {}
+        shift = w * c
+        mask = (1 << c) - 1
+        for p, s in pairs:
+            d = (s >> shift) & mask
+            if d:
+                buckets[d] = _jac_add(buckets.get(d), _to_jac(p))
+        # sum_b b * bucket[b] via descending suffix sums
+        run = None
+        tot = None
+        for b in range(max(buckets, default=0), 0, -1):
+            if b in buckets:
+                run = _jac_add(run, buckets[b])
+            tot = _jac_add(tot, run)
+        acc = _jac_add(acc, tot)
+    return _from_jac(acc)
 
 
 def g1_generator():

@@ -60,12 +60,7 @@ class Params:
     def _msm(self, scalars_int):
         use_device = os.environ.get("H2A_DEVICE_MSM", "0") == "1"
         if not use_device:
-            # Oracle path: skip zero scalars (sparse instance vectors etc.)
-            acc = None
-            for p, s in zip(self.g_lagrange, scalars_int):
-                if s:
-                    acc = oc.g1_add(acc, oc.g1_mul(p, s))
-            return acc
+            return oc.g1_msm(self.g_lagrange, scalars_int)
         import jax.numpy as jnp
 
         from ..ops import curve_ops as co

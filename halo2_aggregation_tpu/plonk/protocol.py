@@ -180,6 +180,18 @@ def compress_expressions(ops, exprs, theta, advice, fixed, instance):
     return acc
 
 
+def _register_pytree_dataclass(cls):
+    """Register as a JAX pytree so batched-verifier structures shard/jit;
+    harmless for the host-int backends (ints are leaves)."""
+    try:
+        import jax
+
+        return jax.tree_util.register_dataclass(cls)
+    except Exception:
+        return cls
+
+
+@_register_pytree_dataclass
 @dataclass
 class LookupEvals:
     """The 5 transcript evals of one lookup argument (lookup.rs:31-39)."""
@@ -231,6 +243,7 @@ def lookup_expressions(
     return [e1, e2, e3, e4, e5]
 
 
+@_register_pytree_dataclass
 @dataclass
 class PermutationSetEvals:
     """Per-chunk grand-product evals (permutation.rs:25-30)."""

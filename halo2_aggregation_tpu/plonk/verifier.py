@@ -50,53 +50,62 @@ class VerifierTrace:
     efw: Tuple
 
 
-def verify_proof(
-    params: Params,
-    vk: VerifyingKey,
-    instances: List[List[int]],
-    proof: bytes,
-    return_trace: bool = False,
-):
-    cs = vk.cs
-    n = vk.n
-    omega = vk.omega
-    omega_inv = pow(omega, -1, R)
-    bf = cs.blinding_factors()
-    chunk_len = cs.degree() - 2
-    num_chunks = (len(cs.permutation_columns) + chunk_len - 1) // chunk_len
-    t = Blake2bRead(proof)
-    ops = IntOps()
+@dataclass
+class ParsedProof:
+    """Transcript-replay result: every commitment, eval, and challenge in
+    schedule order — the host<->device handoff structure."""
 
-    # 3-4: vk hash + instance commitments
+    inst_comms: List
+    adv_comms: List
+    lookups_permuted: List  # (A', S') pairs
+    perm_z_comms: List
+    lookup_z_comms: List
+    r_comm: object
+    h_comms: List
+    w_comms: List  # multiopen witness commitments, per rotation set (asc)
+    inst_evals: List[int]
+    adv_evals: List[int]
+    fix_evals: List[int]
+    r_eval: int
+    sigma_evals: List[int]
+    perm_sets: List[PermutationSetEvals]
+    lookup_evs: List[LookupEvals]
+    theta: int
+    beta: int
+    gamma: int
+    y: int
+    x: int
+    v: int
+    u: int
+
+
+def num_perm_chunks(cs) -> int:
+    chunk_len = cs.degree() - 2
+    return (len(cs.permutation_columns) + chunk_len - 1) // chunk_len
+
+
+def parse_proof(vk: VerifyingKey, inst_comms, proof: bytes) -> ParsedProof:
+    """Replay the Fiat-Shamir transcript (steps 3-27 of SURVEY.md §3.2) and
+    collect everything; host-only (hashing is inherently sequential)."""
+    cs = vk.cs
+    num_chunks = num_perm_chunks(cs)
+    t = Blake2bRead(proof)
     t.common_scalar(vk.hash_scalar())
-    inst_comms = []
-    for ci in range(cs.num_instance_columns):
-        col = list(instances[ci])
-        assert len(col) <= cs.usable_rows(n), "instance too large"
-        inst_comms.append(params.commit_lagrange(col))
     for c in inst_comms:
         t.common_point(c)
-
-    # 5: advice commitments
     adv_comms = [t.read_point() for _ in range(cs.num_advice_columns)]
     theta = t.squeeze_challenge()
-
-    # 7: lookup permuted commitments
     lookups_permuted = [
         (t.read_point(), t.read_point()) for _ in range(len(cs.lookups))
     ]
     beta = t.squeeze_challenge()
     gamma = t.squeeze_challenge()
-
-    # 9-11
     perm_z_comms = [t.read_point() for _ in range(num_chunks)]
     lookup_z_comms = [t.read_point() for _ in range(len(cs.lookups))]
     r_comm = t.read_point()
     y = t.squeeze_challenge()
     h_comms = [t.read_point() for _ in range(cs.quotient_poly_degree())]
     x = t.squeeze_challenge()
-
-    # 15: evals
     inst_evals = [t.read_scalar() for _ in cs.instance_queries]
     adv_evals = [t.read_scalar() for _ in cs.advice_queries]
     fix_evals = [t.read_scalar() for _ in cs.fixed_queries]
@@ -119,6 +128,81 @@ def verify_proof(
                 s_prime=t.read_scalar(),
             )
         )
+    v = t.squeeze_challenge()
+    u = t.squeeze_challenge()
+    sched = query_schedule(cs, num_chunks, len(cs.lookups))
+    w_comms = [t.read_point() for _ in rotation_sets(sched)]
+    return ParsedProof(
+        inst_comms,
+        adv_comms,
+        lookups_permuted,
+        perm_z_comms,
+        lookup_z_comms,
+        r_comm,
+        h_comms,
+        w_comms,
+        inst_evals,
+        adv_evals,
+        fix_evals,
+        r_eval,
+        sigma_evals,
+        perm_sets,
+        lookup_evs,
+        theta,
+        beta,
+        gamma,
+        y,
+        x,
+        v,
+        u,
+    )
+
+
+def verify_proof(
+    params: Params,
+    vk: VerifyingKey,
+    instances: List[List[int]],
+    proof: bytes,
+    return_trace: bool = False,
+):
+    cs = vk.cs
+    n = vk.n
+    omega = vk.omega
+    omega_inv = pow(omega, -1, R)
+    bf = cs.blinding_factors()
+    chunk_len = cs.degree() - 2
+    num_chunks = num_perm_chunks(cs)
+    ops = IntOps()
+
+    inst_comms = []
+    for ci in range(cs.num_instance_columns):
+        col = list(instances[ci])
+        assert len(col) <= cs.usable_rows(n), "instance too large"
+        inst_comms.append(params.commit_lagrange(col))
+
+    p = parse_proof(vk, inst_comms, proof)
+    (theta, beta, gamma, y, x, v, u) = (
+        p.theta,
+        p.beta,
+        p.gamma,
+        p.y,
+        p.x,
+        p.v,
+        p.u,
+    )
+    adv_comms = p.adv_comms
+    lookups_permuted = p.lookups_permuted
+    perm_z_comms = p.perm_z_comms
+    lookup_z_comms = p.lookup_z_comms
+    r_comm = p.r_comm
+    h_comms = p.h_comms
+    inst_evals = p.inst_evals
+    adv_evals = p.adv_evals
+    fix_evals = p.fix_evals
+    r_eval = p.r_eval
+    sigma_evals = p.sigma_evals
+    perm_sets = p.perm_sets
+    lookup_evs = p.lookup_evs
 
     # 20: x^n and Lagrange evals (verifier.rs:512-591)
     xn = pow(x, n, R)
@@ -223,27 +307,19 @@ def verify_proof(
         else:
             raise KeyError(q.kind)
 
-    v = t.squeeze_challenge()
-    u = t.squeeze_challenge()
-
     # 27: GWC multiopen fold (multiopen.rs:271-509)
     by_rot = {}
-    order = []
     for q, comm, ev in resolved:
-        if q.rotation not in by_rot:
-            by_rot[q.rotation] = []
-            order.append(q.rotation)
-    for q, comm, ev in resolved:
-        by_rot[q.rotation].append((comm, ev))
+        by_rot.setdefault(q.rotation, []).append((comm, ev))
 
     eval_multi = 0
     Ws, ZWs, Fs = [], [], []
-    for rot in sorted(by_rot):
+    for set_i, rot in enumerate(sorted(by_rot)):
         if rot >= 0:
             z_pt = x * pow(omega, rot, R) % R
         else:
             z_pt = x * pow(omega_inv, -rot, R) % R
-        wi = t.read_point()
+        wi = p.w_comms[set_i]
         z_wi = oc.g1_mul(wi, z_pt)
         Ws.append(wi)
         ZWs.append(z_wi)

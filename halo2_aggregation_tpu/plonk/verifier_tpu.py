@@ -1,0 +1,613 @@
+"""The TPU verifier: batched verification algebra over limb arrays.
+
+This is the flagship compute path (BASELINE configs 1-3): after the host
+replays the Fiat-Shamir transcript (parse_proof), every remaining step of
+the reference verifier — Lagrange l_evals, gate/permutation/lookup
+expression evaluation, the y-fold and h reconstruction, and the GWC
+multiopen EC folds (`/root/reference/src/verifier.rs:512-762`,
+`src/multiopen.rs:271-509`) — runs as batched JAX ops over
+``(B, 32)``-shaped limb arrays: B proofs verified in lockstep, one
+compiled program per (vk, batch-size).
+
+Every op is batch-polymorphic, so scaling across chips is just sharding
+the B axis (parallel/batch_verify.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import G1_GEN, R
+from ..ops import curve_ops as co
+from ..ops import field_ops as fo
+from ..ops.limbs import ints_to_limbs
+from .keygen import VerifyingKey
+from .protocol import (
+    LimbOps,
+    LookupEvals,
+    PermutationSetEvals,
+    fold_y,
+    gate_expressions,
+    lookup_expressions,
+    permutation_expressions,
+    query_schedule,
+    rotation_sets,
+)
+from .verifier import ParsedProof, num_perm_chunks
+
+FR = fo.FR
+FQ = fo.FQ
+
+
+def _scalars_to_batch(vals: List[int]):
+    """(B,) ints -> (B, 32) Montgomery limb array."""
+    return jnp.asarray(FR.to_mont_array(vals))
+
+
+def _points_to_batch(pts: List):
+    """(B,) oracle points -> batched JacPoint."""
+    return co.affine_to_jac(co.affine_from_ints(pts))
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class VerifierBatch:
+    """Batched device-side inputs for B proofs under one vk."""
+
+    # challenges, (B, 32) mont
+    theta: object
+    beta: object
+    gamma: object
+    y: object
+    x: object
+    v: object
+    u: object
+    # evals, lists of (B, 32) mont
+    inst_evals: list
+    adv_evals: list
+    fix_evals: list
+    r_eval: object
+    sigma_evals: list
+    perm_sets: list  # of PermutationSetEvals with (B,32) leaves
+    lookup_evs: list  # of LookupEvals with (B,32) leaves
+    # points, JacPoint with (B, 32) coords
+    inst_comms: list
+    adv_comms: list
+    lookups_permuted: list  # (A', S') pairs
+    perm_z_comms: list
+    lookup_z_comms: list
+    r_comm: object
+    h_comms: list
+    w_comms: list
+
+
+def batch_proofs(vk: VerifyingKey, parsed: List[ParsedProof]) -> VerifierBatch:
+    cs = vk.cs
+    num_chunks = num_perm_chunks(cs)
+
+    def S(get):  # scalar field
+        return _scalars_to_batch([get(p) for p in parsed])
+
+    def P(get):  # point field
+        return _points_to_batch([get(p) for p in parsed])
+
+    perm_sets = []
+    for ci in range(num_chunks):
+        perm_sets.append(
+            PermutationSetEvals(
+                z=S(lambda p: p.perm_sets[ci].z),
+                z_next=S(lambda p: p.perm_sets[ci].z_next),
+                z_last=(
+                    S(lambda p: p.perm_sets[ci].z_last)
+                    if ci < num_chunks - 1
+                    else None
+                ),
+            )
+        )
+    lookup_evs = []
+    for li in range(len(cs.lookups)):
+        lookup_evs.append(
+            LookupEvals(
+                z=S(lambda p: p.lookup_evs[li].z),
+                z_next=S(lambda p: p.lookup_evs[li].z_next),
+                a_prime=S(lambda p: p.lookup_evs[li].a_prime),
+                a_prime_prev=S(lambda p: p.lookup_evs[li].a_prime_prev),
+                s_prime=S(lambda p: p.lookup_evs[li].s_prime),
+            )
+        )
+    return VerifierBatch(
+        theta=S(lambda p: p.theta),
+        beta=S(lambda p: p.beta),
+        gamma=S(lambda p: p.gamma),
+        y=S(lambda p: p.y),
+        x=S(lambda p: p.x),
+        v=S(lambda p: p.v),
+        u=S(lambda p: p.u),
+        inst_evals=[S(lambda p, i=i: p.inst_evals[i]) for i in range(len(cs.instance_queries))],
+        adv_evals=[S(lambda p, i=i: p.adv_evals[i]) for i in range(len(cs.advice_queries))],
+        fix_evals=[S(lambda p, i=i: p.fix_evals[i]) for i in range(len(cs.fixed_queries))],
+        r_eval=S(lambda p: p.r_eval),
+        sigma_evals=[
+            S(lambda p, i=i: p.sigma_evals[i])
+            for i in range(len(cs.permutation_columns))
+        ],
+        perm_sets=perm_sets,
+        lookup_evs=lookup_evs,
+        inst_comms=[P(lambda p, i=i: p.inst_comms[i]) for i in range(cs.num_instance_columns)],
+        adv_comms=[P(lambda p, i=i: p.adv_comms[i]) for i in range(cs.num_advice_columns)],
+        lookups_permuted=[
+            (
+                P(lambda p, i=i: p.lookups_permuted[i][0]),
+                P(lambda p, i=i: p.lookups_permuted[i][1]),
+            )
+            for i in range(len(cs.lookups))
+        ],
+        perm_z_comms=[P(lambda p, i=i: p.perm_z_comms[i]) for i in range(num_chunks)],
+        lookup_z_comms=[P(lambda p, i=i: p.lookup_z_comms[i]) for i in range(len(cs.lookups))],
+        r_comm=P(lambda p: p.r_comm),
+        h_comms=[
+            P(lambda p, i=i: p.h_comms[i]) for i in range(cs.quotient_poly_degree())
+        ],
+        w_comms=[P(lambda p, i=i: p.w_comms[i]) for i in range(len(parsed[0].w_comms))],
+    )
+
+
+def _ec_mul_mont(point: co.JacPoint, scalar_mont):
+    """Scalar mul where the scalar arrives in Montgomery form: decode to
+    plain limbs on device, then 254-bit double-and-add."""
+    plain = fo.from_mont(scalar_mont, FR)
+    return co.scalar_mul(point, plain, 254)
+
+
+def field_algebra(vk: VerifyingKey, b: VerifierBatch, batch: int):
+    """Device-side steps 20-24 (the pure Fr work): x^n, Lagrange l_evals,
+    gate/permutation/lookup expressions, y-fold, h_eval.  Returns
+    (h_eval, xn, xn_sub_one) as (B, 32) mont arrays."""
+    cs = vk.cs
+    n = vk.n
+    k = vk.k
+    omega = vk.omega
+    omega_inv = pow(omega, -1, R)
+    bf = cs.blinding_factors()
+    chunk_len = cs.degree() - 2
+    ops = LimbOps()
+
+    def const(v: int):
+        return jnp.broadcast_to(jnp.asarray(FR.to_mont(v)), (batch, fo.NLIMBS))
+
+    # --- step 20: x^n by k squarings; l_evals by batched field inversion ---
+    xn = b.x
+    for _ in range(k):
+        xn = fo.mont_sq(xn, FR)
+    xn_sub_one = fo.sub(xn, const(1), FR)
+    l_evals = []
+    w_pow = 1
+    denoms = []
+    numers = []
+    for i in range(2 + bf):
+        numers.append(fo.mont_mul(xn_sub_one, const(w_pow), FR))
+        # n * (x - w^i')
+        term = fo.sub(b.x, const(w_pow), FR)
+        denoms.append(fo.mont_mul(term, const(n), FR))
+        w_pow = w_pow * omega_inv % R
+    dstack = jnp.stack(denoms)  # (2+bf, B, 32)
+    dinv = fo.inv(dstack, FR)
+    for i in range(2 + bf):
+        l_evals.append(fo.mont_mul(numers[i], dinv[i], FR))
+    l_evals.reverse()
+    l_last = l_evals[0]
+    l_blind = l_evals[1]
+    for i in range(2, 1 + bf):
+        l_blind = fo.add(l_blind, l_evals[i], FR)
+    l_0 = l_evals[1 + bf]
+
+    # --- steps 21-23: expression evaluation (shared protocol formulas) -----
+    exprs = gate_expressions(ops, cs, b.adv_evals, b.fix_evals, b.inst_evals)
+    exprs += permutation_expressions(
+        ops,
+        cs,
+        b.perm_sets,
+        b.sigma_evals,
+        b.adv_evals,
+        b.fix_evals,
+        b.inst_evals,
+        l_0,
+        l_last,
+        l_blind,
+        b.beta,
+        b.gamma,
+        b.x,
+        chunk_len,
+    )
+    for arg, ev in zip(cs.lookups, b.lookup_evs):
+        exprs += lookup_expressions(
+            ops,
+            ev,
+            arg,
+            l_0,
+            l_last,
+            l_blind,
+            b.theta,
+            b.beta,
+            b.gamma,
+            b.adv_evals,
+            b.fix_evals,
+            b.inst_evals,
+        )
+
+    # --- step 24 (first half): h_eval (vanishing.rs:146-175) ---------------
+    h_eval = fold_y(ops, exprs, b.y)
+    h_eval = fo.mont_mul(h_eval, fo.inv(xn_sub_one, FR), FR)
+    return h_eval, xn, xn_sub_one
+
+
+def verify_algebra(vk: VerifyingKey, b: VerifierBatch, batch: int):
+    """Device-side steps 20-27 of SURVEY.md §3.2 for B proofs at once,
+    with EC folds done sequentially exactly as the reference does them
+    (the parity-reference path; verify_algebra_fast is the production
+    path).  Returns the quad (e, f, w, zw) as batched JacPoints."""
+    cs = vk.cs
+    omega = vk.omega
+    omega_inv = pow(omega, -1, R)
+    num_chunks = num_perm_chunks(cs)
+
+    def const(v: int):
+        return jnp.broadcast_to(jnp.asarray(FR.to_mont(v)), (batch, fo.NLIMBS))
+
+    h_eval, xn, xn_sub_one = field_algebra(vk, b, batch)
+
+    # --- step 24 (second half): the H fold (vanishing.rs:177-188) ----------
+    H = b.h_comms[0]
+    xn_power = xn
+    for hc in b.h_comms[1:]:
+        term = _ec_mul_mont(hc, xn_power)
+        xn_power = fo.mont_mul(xn_power, xn, FR)
+        H = co.jac_add(H, term)
+
+    # --- step 25: resolve queries (constant commitments from the vk) -------
+    fixed_comms_dev = [
+        _points_to_batch([c] * batch) for c in vk.fixed_commitments
+    ]
+    sigma_comms_dev = [
+        _points_to_batch([c] * batch) for c in vk.sigma_commitments
+    ]
+    sched = query_schedule(cs, num_chunks, len(cs.lookups))
+    resolved = []
+    for q in sched:
+        if q.kind == "instance":
+            col, _ = cs.instance_queries[q.index]
+            resolved.append((q, b.inst_comms[col.index], b.inst_evals[q.index]))
+        elif q.kind == "advice":
+            col, _ = cs.advice_queries[q.index]
+            resolved.append((q, b.adv_comms[col.index], b.adv_evals[q.index]))
+        elif q.kind == "fixed":
+            col, _ = cs.fixed_queries[q.index]
+            resolved.append((q, fixed_comms_dev[col.index], b.fix_evals[q.index]))
+        elif q.kind == "perm_z":
+            ev = b.perm_sets[q.index]
+            resolved.append(
+                (q, b.perm_z_comms[q.index], ev.z if q.rotation == 0 else ev.z_next)
+            )
+        elif q.kind == "perm_z_last":
+            resolved.append((q, b.perm_z_comms[q.index], b.perm_sets[q.index].z_last))
+        elif q.kind == "lookup_z":
+            ev = b.lookup_evs[q.index]
+            resolved.append(
+                (q, b.lookup_z_comms[q.index], ev.z if q.rotation == 0 else ev.z_next)
+            )
+        elif q.kind == "lookup_a":
+            ev = b.lookup_evs[q.index]
+            resolved.append(
+                (
+                    q,
+                    b.lookups_permuted[q.index][0],
+                    ev.a_prime if q.rotation == 0 else ev.a_prime_prev,
+                )
+            )
+        elif q.kind == "lookup_s":
+            resolved.append(
+                (q, b.lookups_permuted[q.index][1], b.lookup_evs[q.index].s_prime)
+            )
+        elif q.kind == "sigma":
+            resolved.append((q, sigma_comms_dev[q.index], b.sigma_evals[q.index]))
+        elif q.kind == "vanishing_h":
+            resolved.append((q, H, h_eval))
+        elif q.kind == "vanishing_r":
+            resolved.append((q, b.r_comm, b.r_eval))
+        else:
+            raise KeyError(q.kind)
+
+    # --- step 27: GWC multiopen fold (multiopen.rs:271-509) ----------------
+    by_rot = {}
+    for q, comm, ev in resolved:
+        by_rot.setdefault(q.rotation, []).append((comm, ev))
+
+    eval_multi = const(0)
+    Ws, ZWs, Fs = [], [], []
+    for set_i, rot in enumerate(sorted(by_rot)):
+        w_exp = pow(omega, rot, R) if rot >= 0 else pow(omega_inv, -rot, R)
+        z_pt = fo.mont_mul(b.x, const(w_exp), FR)
+        wi = b.w_comms[set_i]
+        z_wi = _ec_mul_mont(wi, z_pt)
+        Ws.append(wi)
+        ZWs.append(z_wi)
+        eval_multi = fo.mont_mul(eval_multi, b.u, FR)
+        entries = by_rot[rot]
+        batch_c, batch_e = entries[0]
+        for comm, ev in entries[1:]:
+            batch_c = co.jac_add(_ec_mul_mont(batch_c, b.v), comm)
+            batch_e = fo.add(fo.mont_mul(batch_e, b.v, FR), ev, FR)
+        Fs.append(batch_c)
+        eval_multi = fo.add(eval_multi, batch_e, FR)
+
+    def fold_pts(pts):
+        acc = pts[0]
+        for pt in pts[1:]:
+            acc = co.jac_add(_ec_mul_mont(acc, b.u), pt)
+        return acc
+
+    w_pt = fold_pts(Ws)
+    zw_pt = fold_pts(ZWs)
+    f_pt = fold_pts(Fs)
+    g1 = _points_to_batch([G1_GEN] * batch)
+    e_pt = _ec_mul_mont(g1, fo.neg(eval_multi, FR))
+
+    return {"e": e_pt, "f": f_pt, "w": w_pt, "zw": zw_pt, "h_eval": h_eval}
+
+
+def _multiopen_coefficients(vk: VerifyingKey, p: ParsedProof):
+    """Host-side: expand the GWC folds into explicit linear combinations.
+
+    Every output point of the multiopen (w, zw, f) is a linear combination
+    of transcript/vk points whose coefficients are products of u/v powers,
+    z_i, and x^n powers — all host-known after transcript replay.  e is
+    -(eval_multi) * G1, where eval_multi splits into a host-known part and
+    one h_eval-dependent term (h_eval is the only device-computed eval).
+
+    Returns dict with per-component (points, scalars) lane lists plus the
+    coefficient of h_eval inside eval_multi."""
+    cs = vk.cs
+    omega = vk.omega
+    omega_inv = pow(omega, -1, R)
+    x, u, v = p.x, p.u, p.v
+    xn = pow(x, vk.n, R)
+    num_chunks = num_perm_chunks(cs)
+    sched = query_schedule(cs, num_chunks, len(cs.lookups))
+
+    # resolve each query to (list of (point, base_coeff)) and eval (int or
+    # the marker "h_eval")
+    def resolve(q):
+        if q.kind == "instance":
+            col, _ = cs.instance_queries[q.index]
+            return [(p.inst_comms[col.index], 1)], p.inst_evals[q.index]
+        if q.kind == "advice":
+            col, _ = cs.advice_queries[q.index]
+            return [(p.adv_comms[col.index], 1)], p.adv_evals[q.index]
+        if q.kind == "fixed":
+            col, _ = cs.fixed_queries[q.index]
+            return [(vk.fixed_commitments[col.index], 1)], p.fix_evals[q.index]
+        if q.kind == "perm_z":
+            ev = p.perm_sets[q.index]
+            return [(p.perm_z_comms[q.index], 1)], (
+                ev.z if q.rotation == 0 else ev.z_next
+            )
+        if q.kind == "perm_z_last":
+            return [(p.perm_z_comms[q.index], 1)], p.perm_sets[q.index].z_last
+        if q.kind == "lookup_z":
+            ev = p.lookup_evs[q.index]
+            return [(p.lookup_z_comms[q.index], 1)], (
+                ev.z if q.rotation == 0 else ev.z_next
+            )
+        if q.kind == "lookup_a":
+            ev = p.lookup_evs[q.index]
+            return [(p.lookups_permuted[q.index][0], 1)], (
+                ev.a_prime if q.rotation == 0 else ev.a_prime_prev
+            )
+        if q.kind == "lookup_s":
+            return [(p.lookups_permuted[q.index][1], 1)], p.lookup_evs[
+                q.index
+            ].s_prime
+        if q.kind == "sigma":
+            return [(vk.sigma_commitments[q.index], 1)], p.sigma_evals[q.index]
+        if q.kind == "vanishing_h":
+            # H = sum_l (x^n)^l h_l  (vanishing.rs:177-188)
+            lanes = []
+            c = 1
+            for hc in p.h_comms:
+                lanes.append((hc, c))
+                c = c * xn % R
+            return lanes, "h_eval"
+        if q.kind == "vanishing_r":
+            return [(p.r_comm, 1)], p.r_eval
+        raise KeyError(q.kind)
+
+    by_rot = {}
+    for q in sched:
+        by_rot.setdefault(q.rotation, []).append(q)
+    rots = sorted(by_rot)
+    K = len(rots)
+
+    w_lanes, zw_lanes, f_lanes = [], [], []
+    eval_known = 0
+    h_coeff = 0
+    for i, rot in enumerate(rots):
+        upow = pow(u, K - 1 - i, R)
+        z_i = (
+            x * pow(omega, rot, R) % R
+            if rot >= 0
+            else x * pow(omega_inv, -rot, R) % R
+        )
+        w_lanes.append((p.w_comms[i], upow))
+        zw_lanes.append((p.w_comms[i], upow * z_i % R))
+        qs = by_rot[rot]
+        m = len(qs)
+        for j, q in enumerate(qs):
+            vpow = pow(v, m - 1 - j, R)
+            coeff = upow * vpow % R
+            lanes, ev = resolve(q)
+            for pt, c in lanes:
+                f_lanes.append((pt, coeff * c % R))
+            if ev == "h_eval":
+                h_coeff = (h_coeff + coeff) % R
+            else:
+                eval_known = (eval_known + coeff * ev) % R
+
+    return {
+        "w": w_lanes,
+        "zw": zw_lanes,
+        "f": f_lanes,
+        "eval_known": eval_known,
+        "h_coeff": h_coeff,
+    }
+
+
+def verify_algebra_fast(
+    vk: VerifyingKey, b: VerifierBatch, parsed: List[ParsedProof]
+):
+    """Production path: device field algebra for h_eval + ONE batched
+    double-and-add over all (B, M) multiopen lanes, instead of ~30
+    sequential EC fold scans.  Produces the identical quad."""
+    B = len(parsed)
+    h_eval, _, _ = field_algebra(vk, b, B)
+
+    coeffs = [_multiopen_coefficients(vk, p) for p in parsed]
+    comp_points = {}
+    comp_scalars = {}
+    for name in ("w", "zw", "f"):
+        pts = [[pt for pt, s in c[name]] for c in coeffs]
+        ss = [[s for pt, s in c[name]] for c in coeffs]
+        m = len(pts[0])
+        flat_pts = [pt for row in pts for pt in row]
+        aff = co.affine_from_ints(flat_pts)
+        comp_points[name] = co.affine_to_jac(
+            co.AffinePoint(
+                aff.x.reshape(B, m, fo.NLIMBS),
+                aff.y.reshape(B, m, fo.NLIMBS),
+                aff.inf.reshape(B, m),
+            )
+        )
+        comp_scalars[name] = jnp.asarray(
+            np.stack([ints_to_limbs(row) for row in ss])
+        )
+
+    # per-lane scalar mul: one shared 254-step scan over every component
+    quads = {}
+    for name in ("w", "zw", "f"):
+        per = co.scalar_mul(comp_points[name], comp_scalars[name], 254)
+        trans = co.JacPoint(
+            jnp.moveaxis(per.x, 1, 0), jnp.moveaxis(per.y, 1, 0), jnp.moveaxis(per.z, 1, 0)
+        )
+        quads[name] = co.jac_sum(trans)
+
+    # e = -(eval_known + h_coeff * h_eval) * G1
+    h_coeff_mont = jnp.asarray(FR.to_mont_array([c["h_coeff"] for c in coeffs]))
+    known_mont = jnp.asarray(FR.to_mont_array([c["eval_known"] for c in coeffs]))
+    eval_multi = fo.add(
+        fo.mont_mul(h_coeff_mont, h_eval, FR), known_mont, FR
+    )
+    g1 = _points_to_batch([G1_GEN] * B)
+    quads["e"] = _ec_mul_mont(g1, fo.neg(eval_multi, FR))
+    quads["h_eval"] = h_eval
+    return quads
+
+
+def synthetic_batch(vk: VerifyingKey, B: int, seed: int = 0) -> VerifierBatch:
+    """A structurally-correct VerifierBatch with random field/point values —
+    used for compile checks and steady-state benchmarking (identical
+    compute shape to real verification)."""
+    from ..oracle import curve as oc
+
+    rng = np.random.default_rng(seed)
+    cs = vk.cs
+    num_chunks = num_perm_chunks(cs)
+
+    def ri():
+        return int.from_bytes(rng.bytes(40), "little") % R
+
+    def S():
+        return _scalars_to_batch([ri() for _ in range(B)])
+
+    def P():
+        g = oc.g1_generator()
+        return _points_to_batch(
+            [oc.g1_mul(g, int(rng.integers(1, 1 << 31))) for _ in range(B)]
+        )
+
+    perm_sets = [
+        PermutationSetEvals(
+            z=S(), z_next=S(), z_last=S() if ci < num_chunks - 1 else None
+        )
+        for ci in range(num_chunks)
+    ]
+    lookup_evs = [
+        LookupEvals(z=S(), z_next=S(), a_prime=S(), a_prime_prev=S(), s_prime=S())
+        for _ in cs.lookups
+    ]
+    sched = query_schedule(cs, num_chunks, len(cs.lookups))
+    return VerifierBatch(
+        theta=S(),
+        beta=S(),
+        gamma=S(),
+        y=S(),
+        x=S(),
+        v=S(),
+        u=S(),
+        inst_evals=[S() for _ in cs.instance_queries],
+        adv_evals=[S() for _ in cs.advice_queries],
+        fix_evals=[S() for _ in cs.fixed_queries],
+        r_eval=S(),
+        sigma_evals=[S() for _ in cs.permutation_columns],
+        perm_sets=perm_sets,
+        lookup_evs=lookup_evs,
+        inst_comms=[P() for _ in range(cs.num_instance_columns)],
+        adv_comms=[P() for _ in range(cs.num_advice_columns)],
+        lookups_permuted=[(P(), P()) for _ in cs.lookups],
+        perm_z_comms=[P() for _ in range(num_chunks)],
+        lookup_z_comms=[P() for _ in cs.lookups],
+        r_comm=P(),
+        h_comms=[P() for _ in range(cs.quotient_poly_degree())],
+        w_comms=[P() for _ in rotation_sets(sched)],
+    )
+
+
+def verify_batch(
+    params,
+    vk: VerifyingKey,
+    instances_list,
+    proofs: List[bytes],
+    fast: bool = True,
+):
+    """Full batched verification: host transcript replay + device algebra +
+    host pairing checks.  Returns (list of bool, list of efw quads)."""
+    from ..oracle import curve as oc
+    from ..oracle.pairing import multi_pairing_check
+    from .verifier import parse_proof
+
+    parsed = []
+    for insts, proof in zip(instances_list, proofs):
+        inst_comms = [params.commit_lagrange(col) for col in insts]
+        parsed.append(parse_proof(vk, inst_comms, proof))
+    B = len(parsed)
+    batch = batch_proofs(vk, parsed)
+    if fast:
+        out = verify_algebra_fast(vk, batch, parsed)
+    else:
+        out = verify_algebra(vk, batch, B)
+    quads = []
+    for name in ("e", "f", "w", "zw"):
+        quads.append(co.jac_to_ints(out[name]))
+    oks = []
+    efws = []
+    for i in range(B):
+        e, f, w, zw = quads[0][i], quads[1][i], quads[2][i], quads[3][i]
+        rhs = oc.g1_add(oc.g1_add(zw, f), e)
+        oks.append(
+            multi_pairing_check([(w, params.s_g2), (oc.g1_neg(rhs), params.g2)])
+        )
+        efws.append((e, f, w, zw))
+    return oks, efws

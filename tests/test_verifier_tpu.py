@@ -1,0 +1,53 @@
+"""TPU verifier vs host verifier: bit-exact quad parity, batched."""
+
+import pytest
+
+from halo2_aggregation_tpu.models import simple_example as se
+from halo2_aggregation_tpu.plonk import kzg
+from halo2_aggregation_tpu.plonk.keygen import keygen
+from halo2_aggregation_tpu.plonk.prover import create_proof
+from halo2_aggregation_tpu.plonk.verifier import verify_proof
+from halo2_aggregation_tpu.plonk.verifier_tpu import verify_batch
+
+K = 9
+
+
+@pytest.fixture(scope="module")
+def setup_proofs():
+    params = kzg.setup(K)
+    circuit = se.MyCircuit(constant=7, a=2, b=3)
+    cs_e, _, asg_e = se.build(circuit.without_witnesses(), k=K)
+    vk, pk = keygen(params, cs_e, asg_e)
+    proofs, insts = [], []
+    for a, b in [(2, 3), (4, 5), (1, 255)]:
+        c = se.MyCircuit(constant=7, a=a, b=b)
+        _, _, asg = se.build(c, k=K)
+        pub = [c.public_output()]
+        proofs.append(create_proof(params, pk, asg, [pub], seed=100 + a))
+        insts.append([pub])
+    return params, vk, insts, proofs
+
+
+@pytest.mark.slow
+def test_tpu_matches_host_quad(setup_proofs):
+    params, vk, insts, proofs = setup_proofs
+    # host reference quads
+    host = [verify_proof(params, vk, ins, pf) for ins, pf in zip(insts, proofs)]
+    for ok, _ in host:
+        assert ok
+    oks, efws = verify_batch(params, vk, insts, proofs)
+    assert all(oks)
+    for (ok_h, efw_h), efw_t in zip(host, efws):
+        assert tuple(efw_h) == tuple(efw_t), "TPU quad != host quad"
+
+
+@pytest.mark.slow
+def test_tpu_rejects_bad_proof(setup_proofs):
+    params, vk, insts, proofs = setup_proofs
+    bad = bytearray(proofs[0])
+    bad[35] ^= 1  # corrupt a commitment byte
+    try:
+        oks, _ = verify_batch(params, vk, [insts[0]], [bytes(bad)])
+        assert not oks[0]
+    except ValueError:
+        pass  # point decompression may legitimately fail
