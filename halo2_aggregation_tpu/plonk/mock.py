@@ -43,6 +43,63 @@ def _row_eval(cs, expr, assignment, row, n):
     )
 
 
+def mock_verify_fast(cs: ConstraintSystem, assignment: Assignment) -> List[str]:
+    """Columnwise MockProver: evaluates each gate over whole columns with
+    the vectorized int backend — O(gates) passes instead of O(rows*gates)
+    Python dispatch.  Use for the large aggregation circuits (k >= 14)."""
+    from .protocol import VecIntOps, eval_expression
+
+    n = assignment.n
+    usable = cs.usable_rows(n)
+    failures: List[str] = []
+    ops = VecIntOps()
+
+    def rolled(col, rot):
+        vals = _column_values(assignment, col)
+        vals = [0 if v is None else v for v in vals]
+        s = rot % n
+        return vals[s:] + vals[:s]
+
+    adv = [rolled(c, rot.value) for c, rot in cs.advice_queries]
+    fix = [rolled(c, rot.value) for c, rot in cs.fixed_queries]
+    inst = [rolled(c, rot.value) for c, rot in cs.instance_queries]
+
+    for name, expr in cs.gates:
+        out = eval_expression(ops, expr, adv, fix, inst)
+        if isinstance(out, int):
+            out = [out] * n
+        bad = [i for i, v in enumerate(out) if v != 0]
+        if bad:
+            failures.append(
+                f"gate '{name}' violated at rows {bad[:5]}{'...' if len(bad) > 5 else ''}"
+            )
+
+    for c1, r1, c2, r2 in assignment.copies:
+        v1 = _column_values(assignment, c1)[r1]
+        v2 = _column_values(assignment, c2)[r2]
+        if (0 if v1 is None else v1) != (0 if v2 is None else v2):
+            failures.append(
+                f"copy ({c1.kind.value}{c1.index},{r1}) != ({c2.kind.value}{c2.index},{r2})"
+            )
+
+    for li, arg in enumerate(cs.lookups):
+        tbl_cols = [
+            eval_expression(ops, e, adv, fix, inst) for e in arg.table_expressions
+        ]
+        tbl_cols = [[c] * n if isinstance(c, int) else c for c in tbl_cols]
+        table = set(zip(*[c[:usable] for c in tbl_cols]))
+        in_cols = [
+            eval_expression(ops, e, adv, fix, inst) for e in arg.input_expressions
+        ]
+        in_cols = [[c] * n if isinstance(c, int) else c for c in in_cols]
+        for row, tup in enumerate(zip(*[c[:usable] for c in in_cols])):
+            if tup not in table:
+                failures.append(f"lookup {li} failed at row {row}: {tup}")
+                if len(failures) > 20:
+                    return failures
+    return failures
+
+
 def mock_verify(cs: ConstraintSystem, assignment: Assignment) -> List[str]:
     """Returns a list of failure descriptions (empty == circuit satisfied)."""
     n = assignment.n
