@@ -69,7 +69,22 @@ class RangeChip:
         mg = self.main_gate
         nfull, rem = divmod(bits, LOOKUP_BITS)
         nchunks = nfull + (1 if rem else 0)
-        assert 1 <= nchunks <= 4, "wider values: compose multiple checks"
+        if nchunks > 4:
+            # recurse: value = lo (4 chunks) + hi * 2^68, one combine row
+            lo_bits = 4 * LOOKUP_BITS
+            lo_v = None if value is None else value & ((1 << lo_bits) - 1)
+            hi_v = None if value is None else value >> lo_bits
+            lo = self.range_check(ctx, lo_v, lo_bits)
+            hi = self.range_check(ctx, hi_v, bits - lo_bits)
+            cells = mg.combine(
+                ctx,
+                [
+                    Term.from_assigned(lo, 1),
+                    Term.from_assigned(hi, 1 << lo_bits),
+                    Term.unassigned(value, R - 1),
+                ],
+            )
+            return cells[2]
         chunks = None
         if value is not None:
             assert 0 <= value < (1 << bits), f"{value} exceeds {bits} bits"
