@@ -294,29 +294,62 @@ class IntegerChip:
 
     # -- multiplication -------------------------------------------------------
     def mul(self, ctx, x: AssignedInteger, y: AssignedInteger) -> AssignedInteger:
+        """res = x*y mod p (fresh witness) via the CRT scheme."""
+        return self._mul_core(ctx, x, y, None)
+
+    def assert_mul_equals(
+        self, ctx, x: AssignedInteger, y: AssignedInteger, c: AssignedInteger
+    ):
+        """Constrain x*y = c (mod p) against an existing assigned integer c
+        — the workhorse for EC slope constraints (one mul-sized constraint,
+        no canonical reductions)."""
+        self._mul_core(ctx, x, y, c)
+
+    def _mul_core(self, ctx, x, y, res_in) -> AssignedInteger:
+        """Enforce x*y + k*p = q*p + res over the integers.  The constant
+        offset k = ceil(res_max/p) keeps the quotient witness q
+        non-negative even when res > x*y (possible when res is a
+        caller-supplied integer rather than a fresh reduced witness)."""
         x = self._ensure_strong(ctx, x)
         y = self._ensure_strong(ctx, y)
         xv, yv = x.value(), y.value()
-        if xv is None or yv is None:
+
+        res_max = WRONG_P if res_in is None else res_in.max_value()
+        assert res_max < 1 << 268, "res bound too large for the kp offset"
+        k_off = (res_max + WRONG_P - 1) // WRONG_P
+        kp = k_off * WRONG_P
+        kp_limbs = value_to_limbs(kp)
+
+        res_known = res_in is None or res_in.value() is not None
+        if xv is None or yv is None or not res_known:
             q_limbs = res_limbs = [None] * 4
         else:
             prod = xv * yv
-            res_v = prod % WRONG_P
-            q_v = (prod - res_v) // WRONG_P
-            assert q_v < 1 << 256
+            if res_in is None:
+                res_v = prod % WRONG_P
+                res_limbs = value_to_limbs(res_v)
+            else:
+                res_v = res_in.value()
+                assert (prod - res_v) % WRONG_P == 0, "mul relation violated"
+                res_limbs = [l.value for l in res_in.limbs]
+            q_v = (prod + kp - res_v) // WRONG_P
+            assert 0 <= q_v < 1 << 256, f"quotient out of range ({q_v.bit_length()} bits)"
             q_limbs = value_to_limbs(q_v)
-            res_limbs = value_to_limbs(res_v)
         q_cells = [
             self.rc.range_check(ctx, q_limbs[i], QUOT_BITS[i]) for i in range(4)
         ]
-        res_cells = [
-            self.rc.range_check(ctx, res_limbs[i], LIMB_BITS_STRONG[i])
-            for i in range(4)
-        ]
+        if res_in is None:
+            res_cells = [
+                self.rc.range_check(ctx, res_limbs[i], LIMB_BITS_STRONG[i])
+                for i in range(4)
+            ]
+            res_native = self._native_of_limbs(ctx, res_cells)
+        else:
+            res_cells = res_in.limbs
+            res_native = res_in.native
         q_native = self._native_of_limbs(ctx, q_cells)
-        res_native = self._native_of_limbs(ctx, res_cells)
 
-        # (1) native identity: x_nat*y_nat - q_nat*p - res_nat = 0
+        # (1) native identity: x_nat*y_nat + kp - q_nat*p - res_nat = 0
         self.mg.combine(
             ctx,
             [
@@ -326,6 +359,7 @@ class IntegerChip:
                 Term.from_assigned(res_native, R - 1),
             ],
             mul_ab=1,
+            constant=kp % R,
         )
 
         # (2) limb identity mod 2^272 via two 136-bit super-columns
@@ -334,10 +368,10 @@ class IntegerChip:
             for j in range(4 - i):
                 m[(i, j)] = self.mg.mul(ctx, x.limbs[i], y.limbs[j])
 
-        def tval(pairs, qws, rws):
-            if xv is None:
+        def tval(pairs, qws, rws, const):
+            if q_limbs[0] is None:
                 return None
-            s = 0
+            s = const
             for (i, j), w in pairs:
                 s += m[(i, j)].value * w
             for qi, w in qws:
@@ -346,11 +380,13 @@ class IntegerChip:
                 s -= res_limbs[ri] * w
             return s
 
-        # super-column 0: t0 + B*t1 = v0 * 2^136
+        # super-column 0: t0 + B*t1 + (kp0 + B*kp1) = v0 * 2^136
+        c0 = kp_limbs[0] + B * kp_limbs[1]
         u0 = tval(
             [((0, 0), 1), ((0, 1), B), ((1, 0), B)],
             [(0, P_LIMBS[0] + B * P_LIMBS[1]), (1, B * P_LIMBS[0])],
             [(0, 1), (1, B)],
+            c0,
         )
         v0_v = None if u0 is None else u0 // B2
         if u0 is not None:
@@ -369,9 +405,10 @@ class IntegerChip:
             ]
             + [Term.from_assigned(v0_cell, (-B2) % R)]
         )
-        self.combine_chain(ctx, terms0, constant=(B2 * v0_shift) % R)
+        self.combine_chain(ctx, terms0, constant=(B2 * v0_shift + c0) % R)
 
-        # super-column 1: v0 + t2 + B*t3 = v1 * 2^136
+        # super-column 1: v0 + t2 + B*t3 + (kp2 + B*kp3) = v1 * 2^136
+        c1 = kp_limbs[2] + B * kp_limbs[3]
         u1 = tval(
             [
                 ((0, 2), 1),
@@ -389,6 +426,7 @@ class IntegerChip:
                 (3, B * P_LIMBS[0]),
             ],
             [(2, 1), (3, B)],
+            c1,
         )
         if u1 is not None:
             u1 += v0_v
@@ -421,12 +459,14 @@ class IntegerChip:
             ]
         )
         self.combine_chain(
-            ctx, terms1, constant=(B2 * v1_shift - v0_shift) % R
+            ctx, terms1, constant=(B2 * v1_shift - v0_shift + c1) % R
         )
 
-        return AssignedInteger(
-            res_cells, res_native, [1 << b for b in LIMB_BITS_STRONG]
-        )
+        if res_in is None:
+            return AssignedInteger(
+                res_cells, res_native, [1 << b for b in LIMB_BITS_STRONG]
+            )
+        return res_in
 
     def square(self, ctx, x):
         return self.mul(ctx, x, x)
