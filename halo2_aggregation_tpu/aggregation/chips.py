@@ -1,0 +1,398 @@
+"""In-circuit verifier chips: transcript, lookup, permutation, vanishing,
+multiopen, and the verifier orchestrator.
+
+Layer L2/L3 of the reference (SURVEY.md §1) rebuilt on our gadgets.  The
+scalar algebra is NOT re-written: `GadgetOps` plugs the main gate into the
+same `plonk/protocol.py` formulas used by the prover, host verifier, and
+TPU verifier — one source of truth for the constraint formulas the
+reference spreads across `src/lookup.rs`, `src/permutation.rs`,
+`src/vanishing.rs`.
+
+Fidelity notes (matching reference behavior, including its §2c gaps):
+* TranscriptChip squeezes challenges by running the native Blake2b
+  transcript host-side and assigning the result as an advice witness —
+  UNCONSTRAINED, exactly like `/root/reference/src/transcript.rs:62-85`
+  (their "USE THIS CHIP WITH CAUTION" note applies here too; constraining
+  the transcript is tracked future work on both sides).
+* fixed/sigma commitments are loaded as circuit constants (fixing the
+  reference's "TODO: alloc point from constant", verifier.rs:323, :332).
+* the final verdict mirrors verifier.rs:756-761.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+from ..fields import R
+from ..plonk import protocol
+from ..plonk.circuit import Column, ConstraintSystem
+from ..plonk.keygen import VerifyingKey
+from ..plonk.protocol import (
+    LookupEvals,
+    PermutationSetEvals,
+    ScalarOps,
+    query_schedule,
+    rotation_sets,
+)
+from ..plonk.verifier import num_perm_chunks
+from ..utils.transcript import Blake2bRead, Blake2bWrite
+from .gadgets.ecc import AssignedPoint, EccChip
+from .gadgets.main_gate import AssignedValue, Ctx, MainGate, Term
+
+
+class GadgetOps(ScalarOps):
+    """ScalarOps backend that emits main-gate rows over AssignedValues —
+    the in-circuit analog of the reference's `compute_expr` + MainGate
+    calls (verifier.rs:58-151)."""
+
+    def __init__(self, mg: MainGate, ctx: Ctx):
+        self.mg = mg
+        self.ctx = ctx
+        self._consts = {}
+
+    def constant(self, v: int) -> AssignedValue:
+        v = v % R
+        if v not in self._consts:
+            self._consts[v] = self.mg.assign_constant(self.ctx, v)
+        return self._consts[v]
+
+    def add(self, a, b):
+        return self.mg.add(self.ctx, a, b)
+
+    def sub(self, a, b):
+        return self.mg.sub(self.ctx, a, b)
+
+    def mul(self, a, b):
+        return self.mg.mul(self.ctx, a, b)
+
+    def neg(self, a):
+        return self.mg.neg(self.ctx, a)
+
+    def scale(self, a, v):
+        return self.mg.mul_by_constant(self.ctx, a, v)
+
+
+class TranscriptChip:
+    """In-circuit Fiat-Shamir bookkeeping (transcript.rs:56-149): wraps a
+    native Blake2bWrite; absorbs the *values* of assigned cells and assigns
+    squeezed challenges as advice witnesses (unconstrained, as upstream)."""
+
+    def __init__(self, mg: MainGate):
+        self.mg = mg
+        self.native = Blake2bWrite()
+
+    def common_scalar(self, ctx, av: AssignedValue):
+        if av.value is not None:
+            self.native.common_scalar(av.value)
+
+    def common_point(self, ctx, pt: AssignedPoint):
+        v = pt.value()
+        if v is not None:
+            self.native.common_point(v)
+
+    def squeeze_challenge_scalar(self, ctx) -> AssignedValue:
+        c = self.native.squeeze_challenge()
+        return self.mg.assign_value(ctx, c)
+
+
+@dataclass
+class MultiopenVar:
+    w: AssignedPoint
+    zw: AssignedPoint
+    f: AssignedPoint
+    e: AssignedPoint
+
+
+class VerifierChip:
+    """The orchestrator (verifier.rs:227-762): replays the full verifier
+    over gadgets.  `transcript=None` -> shape-only synthesis (keygen)."""
+
+    def __init__(
+        self,
+        mg: MainGate,
+        ecc: EccChip,
+        inner_vk: VerifyingKey,
+        transcript: Optional[Blake2bRead],
+        mul_nbits: int = 254,
+    ):
+        self.mg = mg
+        self.ecc = ecc
+        self.ic = ecc.ic
+        self.vk = inner_vk
+        self.transcript = transcript
+        self.tchip = TranscriptChip(mg)
+        self.mul_nbits = mul_nbits
+
+    # ------------------------------------------------------------------
+    def _read_point(self, ctx) -> AssignedPoint:
+        p = None if self.transcript is None else self.transcript.read_point()
+        pt = self.ecc.assign_point(ctx, p)
+        self.tchip.common_point(ctx, pt)
+        return pt
+
+    def _read_scalar(self, ctx) -> AssignedValue:
+        s = None if self.transcript is None else self.transcript.read_scalar()
+        av = self.mg.assign_value(ctx, s)
+        self.tchip.common_scalar(ctx, av)
+        return av
+
+    def _read_comm(self, ctx) -> AssignedPoint:
+        """multiopen W_i read (multiopen.rs:202-218): read WITHOUT absorb."""
+        p = None if self.transcript is None else self.transcript.read_point()
+        return self.ecc.assign_point(ctx, p)
+
+    def assign_point_from_instance(self, ctx, instance_col, instance_row) -> AssignedPoint:
+        """8 instance limbs -> point (verifier.rs:200-225): witness advice
+        limbs copied against the instance column."""
+        cells = []
+        for i in range(8):
+            v = None
+            if self.transcript is not None or True:
+                vals = ctx.assignment.instance[instance_col.index]
+                v = vals[instance_row + i]
+            av = self.mg.assign_value(ctx, v)
+            ctx.assignment.copy(av.column, av.row, instance_col, instance_row + i)
+            cells.append(av)
+        from .gadgets.integer import limbs_to_value
+
+        return self.ecc.assign_point_from_cells(ctx, cells[:4], cells[4:])
+
+    def _mul_var(self, ctx, pt, scalar):
+        return self.ecc.mul_var(ctx, pt, scalar, self.mul_nbits)
+
+    # ------------------------------------------------------------------
+    def verify_proof(self, ctx: Ctx, instance_col: Column):
+        """The full §3.2 schedule.  Returns (MultiopenVar, verdict_bit);
+        also pins the quad against instance rows 8..39."""
+        vk = self.vk
+        cs = vk.cs
+        mg, ecc, ic = self.mg, self.ecc, self.ic
+        ops = GadgetOps(mg, ctx)
+        n = vk.n
+        omega = vk.omega
+        omega_inv = pow(omega, -1, R)
+        bf = cs.blinding_factors()
+        chunk_len = cs.degree() - 2
+        num_chunks = num_perm_chunks(cs)
+        num_lookups = len(cs.lookups)
+
+        # 1. instance commitments from the instance column
+        instance_row = 0
+        inst_comms = []
+        for _ in range(cs.num_instance_columns):
+            inst_comms.append(
+                self.assign_point_from_instance(ctx, instance_col, instance_row)
+            )
+            instance_row += 8
+
+        # 2. fixed + sigma commitments as constants (fixes TODO
+        #    verifier.rs:323/:332)
+        fixed_comms = [
+            ecc.assign_constant_point(ctx, c) for c in vk.fixed_commitments
+        ]
+        sigma_comms = [
+            ecc.assign_constant_point(ctx, c) for c in vk.sigma_commitments
+        ]
+
+        # 3. vk hash (verifier.rs:341-358)
+        vk_hash = mg.assign_value(ctx, vk.hash_scalar())
+        self.tchip.common_scalar(ctx, vk_hash)
+
+        # 4. absorb instance commitments
+        for c in inst_comms:
+            self.tchip.common_point(ctx, c)
+
+        # 5. advice commitments
+        adv_comms = []
+        for _ in range(cs.num_advice_columns):
+            adv_comms.append(self._read_point(ctx))
+
+        theta = self.tchip.squeeze_challenge_scalar(ctx)
+
+        # 7. lookup permuted commitments
+        lookups_permuted = [
+            (self._read_point(ctx), self._read_point(ctx))
+            for _ in range(num_lookups)
+        ]
+        beta = self.tchip.squeeze_challenge_scalar(ctx)
+        gamma = self.tchip.squeeze_challenge_scalar(ctx)
+
+        # 9-11
+        perm_z_comms = [self._read_point(ctx) for _ in range(num_chunks)]
+        lookup_z_comms = [self._read_point(ctx) for _ in range(num_lookups)]
+        r_comm = self._read_point(ctx)
+        y = self.tchip.squeeze_challenge_scalar(ctx)
+        h_comms = [
+            self._read_point(ctx) for _ in range(cs.quotient_poly_degree())
+        ]
+        x = self.tchip.squeeze_challenge_scalar(ctx)
+
+        # 15-19: evals
+        inst_evals = [self._read_scalar(ctx) for _ in cs.instance_queries]
+        adv_evals = [self._read_scalar(ctx) for _ in cs.advice_queries]
+        fix_evals = [self._read_scalar(ctx) for _ in cs.fixed_queries]
+        r_eval = self._read_scalar(ctx)
+        sigma_evals = [self._read_scalar(ctx) for _ in cs.permutation_columns]
+        perm_sets = []
+        for ci in range(num_chunks):
+            z = self._read_scalar(ctx)
+            z_next = self._read_scalar(ctx)
+            z_last = self._read_scalar(ctx) if ci < num_chunks - 1 else None
+            perm_sets.append(PermutationSetEvals(z, z_next, z_last))
+        lookup_evs = []
+        for _ in range(num_lookups):
+            lookup_evs.append(
+                LookupEvals(
+                    z=self._read_scalar(ctx),
+                    z_next=self._read_scalar(ctx),
+                    a_prime=self._read_scalar(ctx),
+                    a_prime_prev=self._read_scalar(ctx),
+                    s_prime=self._read_scalar(ctx),
+                )
+            )
+
+        # 20: x^n, l_evals (verifier.rs:512-591)
+        xn = x
+        for _ in range(vk.k):
+            xn = mg.mul(ctx, xn, xn)
+        one = ops.constant(1)
+        xn_sub_one = mg.add_constant(ctx, xn, R - 1)
+        l_evals = []
+        w_pow = 1
+        for _ in range(2 + bf):
+            numer = mg.mul_by_constant(ctx, xn_sub_one, w_pow)
+            term = mg.add_constant(ctx, x, (-w_pow) % R)
+            denom = mg.mul_by_constant(ctx, term, n)
+            l_evals.append(mg.div(ctx, numer, denom))
+            w_pow = w_pow * omega_inv % R
+        l_evals.reverse()
+        l_last = l_evals[0]
+        l_blind = l_evals[1]
+        for i in range(2, 1 + bf):
+            l_blind = mg.add(ctx, l_blind, l_evals[i])
+        l_0 = l_evals[1 + bf]
+
+        # 21-23: expression evaluation via the shared protocol formulas
+        exprs = protocol.gate_expressions(ops, cs, adv_evals, fix_evals, inst_evals)
+        exprs += protocol.permutation_expressions(
+            ops, cs, perm_sets, sigma_evals, adv_evals, fix_evals, inst_evals,
+            l_0, l_last, l_blind, beta, gamma, x, chunk_len,
+        )
+        for arg, ev in zip(cs.lookups, lookup_evs):
+            exprs += protocol.lookup_expressions(
+                ops, ev, arg, l_0, l_last, l_blind, theta, beta, gamma,
+                adv_evals, fix_evals, inst_evals,
+            )
+
+        # 24: h_eval + H fold (vanishing.rs:136-201)
+        h_eval = protocol.fold_y(ops, exprs, y)
+        h_eval = mg.div(ctx, h_eval, xn_sub_one)
+        H = h_comms[0]
+        xn_power = xn
+        for hc in h_comms[1:]:
+            term = self._mul_var(ctx, hc, xn_power)
+            xn_power = mg.mul(ctx, xn_power, xn)
+            H = ecc.add_incomplete(ctx, H, term)
+
+        # 25: queries in schedule order (verifier.rs:654-715)
+        sched = query_schedule(cs, num_chunks, num_lookups)
+        resolved = []
+        for q in sched:
+            if q.kind == "instance":
+                col, _ = cs.instance_queries[q.index]
+                resolved.append((q, inst_comms[col.index], inst_evals[q.index]))
+            elif q.kind == "advice":
+                col, _ = cs.advice_queries[q.index]
+                resolved.append((q, adv_comms[col.index], adv_evals[q.index]))
+            elif q.kind == "fixed":
+                col, _ = cs.fixed_queries[q.index]
+                resolved.append((q, fixed_comms[col.index], fix_evals[q.index]))
+            elif q.kind == "perm_z":
+                ev = perm_sets[q.index]
+                resolved.append(
+                    (q, perm_z_comms[q.index], ev.z if q.rotation == 0 else ev.z_next)
+                )
+            elif q.kind == "perm_z_last":
+                resolved.append((q, perm_z_comms[q.index], perm_sets[q.index].z_last))
+            elif q.kind == "lookup_z":
+                ev = lookup_evs[q.index]
+                resolved.append(
+                    (q, lookup_z_comms[q.index], ev.z if q.rotation == 0 else ev.z_next)
+                )
+            elif q.kind == "lookup_a":
+                ev = lookup_evs[q.index]
+                resolved.append(
+                    (
+                        q,
+                        lookups_permuted[q.index][0],
+                        ev.a_prime if q.rotation == 0 else ev.a_prime_prev,
+                    )
+                )
+            elif q.kind == "lookup_s":
+                resolved.append(
+                    (q, lookups_permuted[q.index][1], lookup_evs[q.index].s_prime)
+                )
+            elif q.kind == "sigma":
+                resolved.append((q, sigma_comms[q.index], sigma_evals[q.index]))
+            elif q.kind == "vanishing_h":
+                resolved.append((q, H, h_eval))
+            elif q.kind == "vanishing_r":
+                resolved.append((q, r_comm, r_eval))
+            else:
+                raise KeyError(q.kind)
+
+        v = self.tchip.squeeze_challenge_scalar(ctx)
+        u = self.tchip.squeeze_challenge_scalar(ctx)
+
+        # 27: GWC multiopen fold (multiopen.rs:271-509)
+        by_rot = {}
+        for q, comm, ev in resolved:
+            by_rot.setdefault(q.rotation, []).append((comm, ev))
+        eval_multi = ops.constant(0)
+        Ws: List[AssignedPoint] = []
+        ZWs: List[AssignedPoint] = []
+        Fs: List[AssignedPoint] = []
+        for rot in sorted(by_rot):
+            w_exp = pow(omega, rot, R) if rot >= 0 else pow(omega_inv, -rot, R)
+            pow_real_omega = ops.constant(w_exp)
+            z_pt = mg.mul(ctx, pow_real_omega, x)
+            wi = self._read_comm(ctx)
+            z_wi = self._mul_var(ctx, wi, z_pt)
+            Ws.append(wi)
+            ZWs.append(z_wi)
+            eval_multi = mg.mul(ctx, eval_multi, u)
+            entries = by_rot[rot]
+            batch_c, batch_e = entries[0]
+            for comm, ev in entries[1:]:
+                batch_c = ecc.add_incomplete(ctx, self._mul_var(ctx, batch_c, v), comm)
+                batch_e = mg.add(ctx, mg.mul(ctx, batch_e, v), ev)
+            Fs.append(batch_c)
+            eval_multi = mg.add(ctx, eval_multi, batch_e)
+
+        def fold_pts(pts):
+            acc = pts[0]
+            for pt in pts[1:]:
+                acc = ecc.add_incomplete(ctx, self._mul_var(ctx, acc, u), pt)
+            return acc
+
+        w_pt = fold_pts(Ws)
+        zw_pt = fold_pts(ZWs)
+        f_pt = fold_pts(Fs)
+        from ..fields import G1_GEN
+
+        g1 = ecc.assign_constant_point(ctx, G1_GEN)
+        neg_e = mg.neg(ctx, eval_multi)
+        e_pt = self._mul_var(ctx, g1, neg_e)
+        quad = MultiopenVar(w=w_pt, zw=zw_pt, f=f_pt, e=e_pt)
+
+        # 28: pin the quad against the instance column (verifier.rs:739-754;
+        # layout [inst_comm, e, f, w, zw], simple-example.rs:668-671)
+        for pt in (quad.e, quad.f, quad.w, quad.zw):
+            inp = self.assign_point_from_instance(ctx, instance_col, instance_row)
+            instance_row += 8
+            ecc.assert_equal(ctx, pt, inp)
+
+        # 29: verdict bit (constant, mirroring verifier.rs:756-761)
+        ret = mg.assign_bit(ctx, 0)
+        return quad, ret
