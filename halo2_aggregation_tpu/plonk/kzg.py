@@ -60,6 +60,10 @@ class Params:
     def _msm(self, scalars_int):
         use_device = os.environ.get("H2A_DEVICE_MSM", "0") == "1"
         if not use_device:
+            from ..utils import native
+
+            if native.available():
+                return native.g1_msm(self.g_lagrange, scalars_int)
             return oc.g1_msm(self.g_lagrange, scalars_int)
         import jax.numpy as jnp
 
@@ -128,6 +132,10 @@ def _batch_g1_mul(base, scalars):
     """Host-or-device batched fixed-base scalar mul for SRS generation."""
     n = len(scalars)
     if n <= 1 << 10 or os.environ.get("H2A_DEVICE_MSM", "0") != "1":
+        from ..utils import native
+
+        if native.available():
+            return native.g1_batch_mul(base, scalars)
         # fixed-base with shared doubling table
         table = []
         p = base
