@@ -58,48 +58,52 @@ def _carry(x, n_out):
 
 
 def _conv(a, b):
-    """32x32 limb convolution via the skew trick (see field_ops)."""
-    bshape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
-    prods = jnp.broadcast_to(
-        a[..., :, None] * b[..., None, :], (*bshape, NLIMBS, NLIMBS)
-    )
-    padded = jnp.pad(prods, [(0, 0)] * (prods.ndim - 1) + [(0, NLIMBS)])
-    flat = padded.reshape(*bshape, NLIMBS * 2 * NLIMBS)
-    skew = flat[..., : NLIMBS * (2 * NLIMBS - 1)].reshape(
-        *bshape, NLIMBS, 2 * NLIMBS - 1
-    )
-    return jnp.sum(skew, axis=-2)
+    """32x32 limb convolution as 32 pad-shifted multiply-accumulates —
+    Mosaic's layout inference rejects the skew-reshape formulation used in
+    field_ops, but concat/add lower fine."""
+    a = jnp.broadcast_to(a, jnp.broadcast_shapes(a.shape, b.shape))
+    b = jnp.broadcast_to(b, a.shape)
+    out = None
+    for i in range(NLIMBS):
+        prod = a[..., i : i + 1] * b  # (..., 32)
+        shifted = jnp.pad(
+            prod, [(0, 0)] * (prod.ndim - 1) + [(i, NLIMBS - 1 - i)]
+        )
+        out = shifted if out is None else out + shifted
+    return out
 
 
-_P = jnp.asarray(FQ.p_limbs)
-_PINV = jnp.asarray(FQ.p_inv_neg)
-_COMP = jnp.asarray(FQ.comp_limbs)
-_ONE_MONT = jnp.asarray(FQ.one_mont)
+# field constants arrive as kernel inputs (pallas kernels cannot capture
+# array constants); helpers take them via the `fc` tuple (p, pinv, comp).
 
 
-def _cond_sub_p(a):
-    s = _carry(a + _COMP, NLIMBS + 1)
+def _cond_sub_p(fc, a):
+    s = _carry(a + fc[2], NLIMBS + 1)
     ge = s[..., NLIMBS:].astype(bool)
     return jnp.where(ge, s[..., :NLIMBS], a)
 
 
-def _mont_mul(a, b):
+def _mont_mul(fc, a, b):
     t = _carry(_conv(a, b), 2 * NLIMBS)
-    m = _carry(_conv(t[..., :NLIMBS], _PINV)[..., :NLIMBS], NLIMBS)
-    u = _conv(m, _P)
+    m = _carry(_conv(t[..., :NLIMBS], fc[1])[..., :NLIMBS], NLIMBS)
+    u = _conv(m, fc[0])
     s = t + jnp.pad(u, [(0, 0)] * (u.ndim - 1) + [(0, 1)])
     s = _carry(s, 2 * NLIMBS)
-    return _cond_sub_p(s[..., NLIMBS:])
+    return _cond_sub_p(fc, s[..., NLIMBS:])
 
 
-def _add(a, b):
-    return _cond_sub_p(_carry(a + b, NLIMBS))
+def _add(fc, a, b):
+    return _cond_sub_p(fc, _carry(a + b, NLIMBS))
 
 
-def _sub(a, b):
-    t = a + _P + (_MASK - b)
-    t = t.at[..., 0].add(1)
-    return _cond_sub_p(_carry(t, NLIMBS))
+def _sub(fc, a, b):
+    t = a + fc[0] + (_MASK - b)
+    # +1 at limb 0 without scatter (Mosaic has no scatter-add): iota mask
+    one_hot0 = (
+        lax.broadcasted_iota(jnp.int32, (1, NLIMBS), 1) == 0
+    ).astype(jnp.int32)
+    t = t + one_hot0
+    return _cond_sub_p(fc, _carry(t, NLIMBS))
 
 
 def _is_zero(a):
@@ -111,46 +115,46 @@ def _sel(mask, a, b):
     return jnp.where(mask, a, b)
 
 
-def _jac_double(x, y, z):
-    A = _mont_mul(x, x)
-    Bb = _mont_mul(y, y)
-    C = _mont_mul(Bb, Bb)
-    t = _add(x, Bb)
-    t = _mont_mul(t, t)
-    D = _sub(_sub(t, A), C)
-    D = _add(D, D)
-    E = _add(_add(A, A), A)
-    F = _mont_mul(E, E)
-    x3 = _sub(F, _add(D, D))
-    c8 = _add(C, C)
-    c8 = _add(c8, c8)
-    c8 = _add(c8, c8)
-    y3 = _sub(_mont_mul(E, _sub(D, x3)), c8)
-    z3 = _mont_mul(_add(y, y), z)
+def _jac_double(fc, x, y, z):
+    A = _mont_mul(fc, x, x)
+    Bb = _mont_mul(fc, y, y)
+    C = _mont_mul(fc, Bb, Bb)
+    t = _add(fc, x, Bb)
+    t = _mont_mul(fc, t, t)
+    D = _sub(fc, _sub(fc, t, A), C)
+    D = _add(fc, D, D)
+    E = _add(fc, _add(fc, A, A), A)
+    F = _mont_mul(fc, E, E)
+    x3 = _sub(fc, F, _add(fc, D, D))
+    c8 = _add(fc, C, C)
+    c8 = _add(fc, c8, c8)
+    c8 = _add(fc, c8, c8)
+    y3 = _sub(fc, _mont_mul(fc, E, _sub(fc, D, x3)), c8)
+    z3 = _mont_mul(fc, _add(fc, y, y), z)
     return x3, y3, z3
 
 
-def _jac_add(x1, y1, z1, x2, y2, z2):
-    z1z1 = _mont_mul(z1, z1)
-    z2z2 = _mont_mul(z2, z2)
-    u1 = _mont_mul(x1, z2z2)
-    u2 = _mont_mul(x2, z1z1)
-    s1 = _mont_mul(y1, _mont_mul(z2, z2z2))
-    s2 = _mont_mul(y2, _mont_mul(z1, z1z1))
-    h = _sub(u2, u1)
-    r = _sub(s2, s1)
-    h2 = _mont_mul(h, h)
-    h3 = _mont_mul(h2, h)
-    u1h2 = _mont_mul(u1, h2)
-    x3 = _sub(_sub(_mont_mul(r, r), h3), _add(u1h2, u1h2))
-    y3 = _sub(_mont_mul(r, _sub(u1h2, x3)), _mont_mul(s1, h3))
-    z3 = _mont_mul(_mont_mul(z1, z2), h)
+def _jac_add(fc, x1, y1, z1, x2, y2, z2):
+    z1z1 = _mont_mul(fc, z1, z1)
+    z2z2 = _mont_mul(fc, z2, z2)
+    u1 = _mont_mul(fc, x1, z2z2)
+    u2 = _mont_mul(fc, x2, z1z1)
+    s1 = _mont_mul(fc, y1, _mont_mul(fc, z2, z2z2))
+    s2 = _mont_mul(fc, y2, _mont_mul(fc, z1, z1z1))
+    h = _sub(fc, u2, u1)
+    r = _sub(fc, s2, s1)
+    h2 = _mont_mul(fc, h, h)
+    h3 = _mont_mul(fc, h2, h)
+    u1h2 = _mont_mul(fc, u1, h2)
+    x3 = _sub(fc, _sub(fc, _mont_mul(fc, r, r), h3), _add(fc, u1h2, u1h2))
+    y3 = _sub(fc, _mont_mul(fc, r, _sub(fc, u1h2, x3)), _mont_mul(fc, s1, h3))
+    z3 = _mont_mul(fc, _mont_mul(fc, z1, z2), h)
 
     p_inf = _is_zero(z1)
     q_inf = _is_zero(z2)
     h0 = _is_zero(h)
     r0 = _is_zero(r)
-    dbl = _jac_double(x1, y1, z1)
+    dbl = _jac_double(fc, x1, y1, z1)
     use_dbl = (~p_inf) & (~q_inf) & h0 & r0
     x3 = _sel(use_dbl, dbl[0], x3)
     y3 = _sel(use_dbl, dbl[1], y3)
@@ -161,22 +165,29 @@ def _jac_add(x1, y1, z1, x2, y2, z2):
     return x3, y3, z3
 
 
-def _scalar_mul_kernel(nbits, px_ref, py_ref, pz_ref, s_ref, ox_ref, oy_ref, oz_ref):
+def _scalar_mul_kernel(nbits, p_ref, pinv_ref, comp_ref, one_ref, px_ref, py_ref, pz_ref, s_ref, ox_ref, oy_ref, oz_ref):
+    fc = (p_ref[0], pinv_ref[0], comp_ref[0])
+    one_mont = one_ref[0]
     px, py, pz = px_ref[:], py_ref[:], pz_ref[:]
     s = s_ref[:]
     tile = px.shape[0]
-    acc_x = jnp.zeros((tile, NLIMBS), jnp.int32) + _ONE_MONT
+    acc_x = jnp.zeros((tile, NLIMBS), jnp.int32) + one_mont
     acc_y = acc_x
     acc_z = jnp.zeros((tile, NLIMBS), jnp.int32)
+
+    limb_ids = lax.broadcasted_iota(jnp.int32, (1, NLIMBS), 1)
 
     def body(i, carry):
         ax, ay, az = carry
         bit_idx = nbits - 1 - i
         limb = bit_idx // LIMB_BITS
         off = bit_idx % LIMB_BITS
-        bit = (lax.dynamic_slice_in_dim(s, limb, 1, axis=1) >> off) & 1
-        ax, ay, az = _jac_double(ax, ay, az)
-        nx, ny, nz = _jac_add(ax, ay, az, px, py, pz)
+        # Mosaic has no dynamic_slice on values: select the limb with an
+        # iota-compare mask and a 32-wide reduce instead.
+        limb_val = jnp.sum(jnp.where(limb_ids == limb, s, 0), axis=1, keepdims=True)
+        bit = (limb_val >> off) & 1
+        ax, ay, az = _jac_double(fc, ax, ay, az)
+        nx, ny, nz = _jac_add(fc, ax, ay, az, px, py, pz)
         take = bit.astype(bool)
         ax = _sel(take, nx, ax)
         ay = _sel(take, ny, ay)
@@ -200,11 +211,18 @@ def scalar_mul_pallas(points_jac, scalars, nbits=254, tile=256, interpret=False)
     n = points_jac.x.shape[0]
     assert n % tile == 0
     grid = (n // tile,)
-    bs = lambda: pl.BlockSpec((tile, NLIMBS), lambda i: (i, 0), memory_space=pltpu.ANY if False else pltpu.VMEM)
+    bs = lambda: pl.BlockSpec((tile, NLIMBS), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    cs_spec = lambda: pl.BlockSpec((1, NLIMBS), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    consts = [
+        jnp.asarray(FQ.p_limbs)[None, :],
+        jnp.asarray(FQ.p_inv_neg)[None, :],
+        jnp.asarray(FQ.comp_limbs)[None, :],
+        jnp.asarray(FQ.one_mont)[None, :],
+    ]
     out = pl.pallas_call(
         functools.partial(_scalar_mul_kernel, nbits),
         grid=grid,
-        in_specs=[bs(), bs(), bs(), bs()],
+        in_specs=[cs_spec(), cs_spec(), cs_spec(), cs_spec(), bs(), bs(), bs(), bs()],
         out_specs=(bs(), bs(), bs()),
         out_shape=(
             jax.ShapeDtypeStruct((n, NLIMBS), jnp.int32),
@@ -212,5 +230,5 @@ def scalar_mul_pallas(points_jac, scalars, nbits=254, tile=256, interpret=False)
             jax.ShapeDtypeStruct((n, NLIMBS), jnp.int32),
         ),
         interpret=interpret,
-    )(points_jac.x, points_jac.y, points_jac.z, scalars)
+    )(*consts, points_jac.x, points_jac.y, points_jac.z, scalars)
     return JacPoint(*out)

@@ -54,11 +54,19 @@ def mock_verify_fast(cs: ConstraintSystem, assignment: Assignment) -> List[str]:
     failures: List[str] = []
     ops = VecIntOps()
 
+    _colcache = {}
+
+    def col_vals(col):
+        key = (col.kind, col.index)
+        if key not in _colcache:
+            vals = _column_values(assignment, col)
+            _colcache[key] = [0 if v is None else v for v in vals]
+        return _colcache[key]
+
     def rolled(col, rot):
-        vals = _column_values(assignment, col)
-        vals = [0 if v is None else v for v in vals]
+        vals = col_vals(col)
         s = rot % n
-        return vals[s:] + vals[:s]
+        return vals[s:] + vals[:s] if s else vals
 
     adv = [rolled(c, rot.value) for c, rot in cs.advice_queries]
     fix = [rolled(c, rot.value) for c, rot in cs.fixed_queries]
@@ -75,12 +83,14 @@ def mock_verify_fast(cs: ConstraintSystem, assignment: Assignment) -> List[str]:
             )
 
     for c1, r1, c2, r2 in assignment.copies:
-        v1 = _column_values(assignment, c1)[r1]
-        v2 = _column_values(assignment, c2)[r2]
-        if (0 if v1 is None else v1) != (0 if v2 is None else v2):
+        v1 = col_vals(c1)[r1]
+        v2 = col_vals(c2)[r2]
+        if v1 != v2:
             failures.append(
                 f"copy ({c1.kind.value}{c1.index},{r1}) != ({c2.kind.value}{c2.index},{r2})"
             )
+            if len(failures) > 20:
+                break
 
     for li, arg in enumerate(cs.lookups):
         tbl_cols = [
