@@ -1,19 +1,20 @@
-"""Benchmark: batched simple-example proof verification on TPU.
+"""Benchmark: B simple-example proofs -> one accumulator, on TPU.
 
 Prints ONE JSON line:
-  {"metric": "verify_algebra_proofs_per_s", "value": N, "unit": "proofs/s",
+  {"metric": "proofs_aggregated_per_s", "value": N, "unit": "proofs/s",
    "vs_baseline": M}
 
-The metric is the steady-state throughput of the device verification
-algebra (field algebra + single-MSM multiopen fold — everything after
-transcript replay, i.e. steps 20-27 of SURVEY.md §3.2) at batch 64 on one
-chip.  The reference publishes no numbers (BASELINE.md: "none exist"), so
-vs_baseline is measured against this repo's own single-threaded host-int
-verifier doing the same algebra (pairing excluded on both sides; it is a
-once-per-aggregate deferred cost by the protocol's own design).
+The metric is the end-to-end aggregation pipeline at batch B=64 on one
+chip: per-proof Blake2b transcript replay (host) -> batched verification
+algebra (device: Lagrange evals, all constraint expressions, the
+single-MSM GWC multiopen fold) -> quad extraction -> ONE folded pairing
+check for the whole batch (`aggregate_quads`).  This is BASELINE.json's
+headline ("proofs aggregated/sec").
 
-Extra diagnostic fields (field-mul throughput, MSM rate) are embedded in
-the same JSON object.
+The reference publishes no numbers (BASELINE.md: "none exist"), so
+vs_baseline is measured against this repo's own single-threaded host-int
+verifier doing the same algebra.  Diagnostics (device-only algebra rate,
+field-mul throughput) are embedded in the same JSON object.
 """
 
 import json
@@ -45,24 +46,52 @@ def main():
         verify_algebra_fast,
     )
 
+    from halo2_aggregation_tpu.ops import curve_ops as co
+    from halo2_aggregation_tpu.plonk.verifier_tpu import check_aggregate
+
     B = int(os.environ.get("H2A_BENCH_BATCH", "64"))
     k = 9
 
-    # --- build one real proof, replicate to a batch of B ------------------
+    # --- build real proofs, cycle to a batch of B -------------------------
     params = kzg.setup(k)
     circuit = se.MyCircuit(constant=7, a=2, b=3)
     cs_e, _, asg_e = se.build(circuit.without_witnesses(), k=k)
     vk, pk = keygen(params, cs_e, asg_e)
-    _, _, asg = se.build(circuit, k=k)
-    pub = [circuit.public_output()]
-    proof = create_proof(params, pk, asg, [pub], seed=42)
-    inst_comms = [params.commit_lagrange(pub)]
-    parsed = parse_proof(vk, inst_comms, proof)
-    batch = batch_proofs(vk, [parsed] * B)
-    parsed_list = [parsed] * B
+    protos = []
+    for a, b in [(2, 3), (4, 5)]:
+        c = se.MyCircuit(constant=7, a=a, b=b)
+        _, _, asg = se.build(c, k=k)
+        pub = [c.public_output()]
+        proof = create_proof(params, pk, asg, [pub], seed=40 + a)
+        protos.append((pub, proof, [params.commit_lagrange(pub)]))
 
-    # --- device verification algebra --------------------------------------
-    out = verify_algebra_fast(vk, batch, parsed_list)  # warmup + compile
+    def full_aggregate_once():
+        """parse B transcripts -> device algebra -> quads -> ONE folded
+        pairing: the end-to-end 'B proofs -> one accumulator' pipeline."""
+        parsed = [
+            parse_proof(vk, protos[i % 2][2], protos[i % 2][1]) for i in range(B)
+        ]
+        batch = batch_proofs(vk, parsed)
+        out = verify_algebra_fast(vk, batch, parsed)
+        quads_cols = [co.jac_to_ints(out[n]) for n in ("e", "f", "w", "zw")]
+        quads = [tuple(qc[i] for qc in quads_cols) for i in range(B)]
+        ok = check_aggregate(quads, params)
+        assert ok
+        return out
+
+    full_aggregate_once()  # warmup + compile
+    iters = 2
+    t0 = time.time()
+    for _ in range(iters):
+        full_aggregate_once()
+    agg_dt = (time.time() - t0) / iters
+    agg_rate = B / agg_dt
+
+    # --- device verification algebra alone --------------------------------
+    parsed = [parse_proof(vk, protos[i % 2][2], protos[i % 2][1]) for i in range(B)]
+    parsed_list = parsed
+    batch = batch_proofs(vk, parsed)
+    out = verify_algebra_fast(vk, batch, parsed_list)
     jax.block_until_ready(out["e"])
     t0 = time.time()
     iters = 3
@@ -71,6 +100,7 @@ def main():
         jax.block_until_ready(out["e"])
     dt = (time.time() - t0) / iters
     tpu_rate = B / dt
+    pub, proof = protos[0][0], protos[0][1]
 
     # --- host baseline: same algebra, single thread, python ints ----------
     t0 = time.time()
@@ -109,12 +139,13 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "verify_algebra_proofs_per_s",
-                "value": round(tpu_rate, 3),
+                "metric": "proofs_aggregated_per_s",
+                "value": round(agg_rate, 3),
                 "unit": "proofs/s",
-                "vs_baseline": round(tpu_rate / host_rate, 3),
+                "vs_baseline": round(agg_rate / host_rate, 3),
                 "detail": {
                     "batch": B,
+                    "verify_algebra_proofs_per_s": round(tpu_rate, 3),
                     "host_algebra_proofs_per_s": round(host_rate, 3),
                     "fr_mont_mul_per_s": round(fmul_rate, 1),
                     "device": str(jax.devices()[0]),

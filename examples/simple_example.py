@@ -1,0 +1,78 @@
+"""End-to-end demo mirroring the reference's `examples/simple-example.rs`.
+
+Phase A: build + prove the inner circuit (k=9, constant=7, a=2, b=3);
+         native verify -> (ok, (e,f,w,zw))
+Phase B: construct the outer SingleProofCircuit with the proof transcript
+Phase C: MockProver-equivalent on the outer circuit (H2A_FULL_MOCK=1;
+         witness-level quad equality is always checked)
+Phase D: outer keygen/prove lands with the device prover (round 2);
+         today the in-circuit statement is checked by Phase C and the
+         batch accumulator path (aggregate_quads) covers multi-proof.
+
+Run: python examples/simple_example.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    from halo2_aggregation_tpu.models import aggregation_circuit as ac
+    from halo2_aggregation_tpu.models import simple_example as se
+    from halo2_aggregation_tpu.plonk import kzg
+    from halo2_aggregation_tpu.plonk.keygen import keygen
+    from halo2_aggregation_tpu.plonk.mock import mock_verify_fast
+    from halo2_aggregation_tpu.plonk.prover import create_proof
+    from halo2_aggregation_tpu.plonk.verifier import verify_proof
+
+    # --- Phase A: inner proof (simple-example.rs:560-644) ------------------
+    k = 9
+    t0 = time.time()
+    params = kzg.setup(k)
+    circuit = se.MyCircuit(constant=7, a=2, b=3)
+    cs_e, _, asg_e = se.build(circuit.without_witnesses(), k=k)
+    vk, pk = keygen(params, cs_e, asg_e)
+    _, _, asg = se.build(circuit, k=k)
+    pub = [circuit.public_output()]
+
+    cs_w, _, asg_w = se.build(circuit, k=k)
+    assert mock_verify_fast(cs_w, asg_w) == []
+    print(f"inner mock prover succeeded ({time.time()-t0:.1f}s)")
+
+    proof = create_proof(params, pk, asg, [pub], seed=42)
+    print(f"proof size is {len(proof)} bytes")
+    ok, efw = verify_proof(params, vk, [pub], proof)
+    assert ok
+    print("simple-circuit proof valid!")
+    inst_comm = params.commit_lagrange(pub)
+
+    # --- Phase B: outer circuit (simple-example.rs:645-672) ----------------
+    outer_k = 23
+    outer = ac.SingleProofCircuit(vk, proof)
+    public_inputs = outer.public_inputs(inst_comm, efw)
+    print(f"outer public inputs: {len(public_inputs)} scalars")
+
+    # --- Phase C: constraint check (simple-example.rs:674-676) -------------
+    t0 = time.time()
+    cs_o, cfg_o, asg_o, ctx_o, quad = ac.build(outer, outer_k, public_inputs)
+    assert [quad.e.value(), quad.f.value(), quad.w.value(), quad.zw.value()] == list(
+        efw
+    ), "in-circuit quad != native quad"
+    print(
+        f"in-circuit verifier synthesized: {ctx_o.offset} rows @ k={outer_k} "
+        f"({time.time()-t0:.1f}s); quad matches native verifier"
+    )
+    if os.environ.get("H2A_FULL_MOCK", "0") == "1":
+        t0 = time.time()
+        failures = mock_verify_fast(cs_o, asg_o)
+        assert failures == [], failures[:5]
+        print(f"outer mock prover succeeded ({time.time()-t0:.1f}s)")
+
+    print("done.")
+
+
+if __name__ == "__main__":
+    main()

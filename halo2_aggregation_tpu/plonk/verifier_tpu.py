@@ -575,15 +575,59 @@ def synthetic_batch(vk: VerifyingKey, B: int, seed: int = 0) -> VerifierBatch:
     )
 
 
+def aggregate_quads(quads, g1, s_g2, g2):
+    """Fold N deferred-pairing quads into ONE pairing check.
+
+    Each quad satisfies e(w_i, [tau]_2) == e(zw_i + f_i + e_i, [1]_2); a
+    random linear combination with lambda derived by hashing all quads
+    (Fiat-Shamir, so the prover cannot bias it) reduces the N checks to
+        e(sum l^i w_i, [tau]_2) == e(sum l^i (zw_i+f_i+e_i), [1]_2).
+    This is the "N proofs -> one accumulator" aggregation of
+    BASELINE.json's north star; returns ((W, RHS), lambda)."""
+    import hashlib
+
+    from ..oracle import curve as oc
+    from ..utils.serialization import g1_compress
+
+    h = hashlib.blake2b(digest_size=64, person=b"H2A-Aggregate---")
+    for e, f, w, zw in quads:
+        for p in (e, f, w, zw):
+            h.update(g1_compress(p))
+    lam = int.from_bytes(h.digest(), "little") % R
+
+    W = None
+    RHS = None
+    lp = 1
+    for e, f, w, zw in quads:
+        rhs = oc.g1_add(oc.g1_add(zw, f), e)
+        W = oc.g1_add(W, oc.g1_mul(w, lp))
+        RHS = oc.g1_add(RHS, oc.g1_mul(rhs, lp))
+        lp = lp * lam % R
+    return (W, RHS), lam
+
+
+def check_aggregate(quads, params) -> bool:
+    """One pairing for the whole batch (vs one per proof)."""
+    from ..oracle import curve as oc
+    from ..oracle.pairing import multi_pairing_check
+
+    (W, RHS), _ = aggregate_quads(quads, params.g1, params.s_g2, params.g2)
+    return multi_pairing_check(
+        [(W, params.s_g2), (oc.g1_neg(RHS), params.g2)]
+    )
+
+
 def verify_batch(
     params,
     vk: VerifyingKey,
     instances_list,
     proofs: List[bytes],
     fast: bool = True,
+    aggregate: bool = False,
 ):
     """Full batched verification: host transcript replay + device algebra +
-    host pairing checks.  Returns (list of bool, list of efw quads)."""
+    host pairing checks.  With aggregate=True, folds all quads into ONE
+    pairing check and returns (ok: bool, quads)."""
     from ..oracle import curve as oc
     from ..oracle.pairing import multi_pairing_check
     from .verifier import parse_proof
@@ -601,13 +645,15 @@ def verify_batch(
     quads = []
     for name in ("e", "f", "w", "zw"):
         quads.append(co.jac_to_ints(out[name]))
+    efws = [
+        (quads[0][i], quads[1][i], quads[2][i], quads[3][i]) for i in range(B)
+    ]
+    if aggregate:
+        return check_aggregate(efws, params), efws
     oks = []
-    efws = []
-    for i in range(B):
-        e, f, w, zw = quads[0][i], quads[1][i], quads[2][i], quads[3][i]
+    for e, f, w, zw in efws:
         rhs = oc.g1_add(oc.g1_add(zw, f), e)
         oks.append(
             multi_pairing_check([(w, params.s_g2), (oc.g1_neg(rhs), params.g2)])
         )
-        efws.append((e, f, w, zw))
     return oks, efws
