@@ -164,6 +164,48 @@ def scalar_mul(p: JacPoint, scalars, nbits: int = 256) -> JacPoint:
     return acc
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
+def scalar_mul_windowed(p: JacPoint, scalars, nbits: int = 256) -> JacPoint:
+    """EXPERIMENTAL (round 2): 4-bit windowed double-and-add — 16-entry
+    per-lane table, nbits/4 iterations of (4 doublings + table-select +
+    add).  ~40% fewer field muls and 4x fewer sequential steps than the
+    bit ladder, but the current formulation's XLA graph (4 inlined
+    doubles + table build) compiles prohibitively slowly; not wired into
+    any default path until the body is restructured."""
+    w = 4
+    nwin = (nbits + w - 1) // w
+    # table[d] = d * P, d in 0..15 (batched along a new leading axis)
+    tbl = [jac_identity(p.x.shape[:-1]), p]
+    for d in range(2, 16):
+        tbl.append(jac_add(tbl[d - 1], p))
+    tx = jnp.stack([t.x for t in tbl])  # (16, ..., 32)
+    ty = jnp.stack([t.y for t in tbl])
+    tz = jnp.stack([t.z for t in tbl])
+
+    # digit extraction: windows MSB-first; digit j covers bits [4j, 4j+4)
+    def digit(j):
+        limb = (j * w) // LIMB_BITS
+        off = (j * w) % LIMB_BITS
+        return (scalars[..., limb] >> off) & 0xF
+
+    def step(acc, j):
+        for _ in range(w):
+            acc = jac_double(acc)
+        d = digit(nwin - 1 - j)  # (...,)
+        sel = d[None, ..., None] == jnp.arange(16).reshape(
+            16, *([1] * (scalars.ndim - 1)), 1
+        )
+        ax = jnp.sum(jnp.where(sel, tx, 0), axis=0)
+        ay = jnp.sum(jnp.where(sel, ty, 0), axis=0)
+        az = jnp.sum(jnp.where(sel, tz, 0), axis=0)
+        acc = jac_add(acc, JacPoint(ax, ay, az))
+        return acc, None
+
+    acc0 = jac_identity(p.x.shape[:-1])
+    acc, _ = lax.scan(step, acc0, jnp.arange(nwin))
+    return acc
+
+
 @jax.jit
 def jac_sum(p: JacPoint) -> JacPoint:
     """Tree-reduce a batch of points along axis 0 to a single point."""
@@ -216,4 +258,22 @@ def affine_to_ints(p: AffinePoint) -> list:
 
 
 def jac_to_ints(p: JacPoint) -> list:
-    return affine_to_ints(jac_to_affine(p))
+    """Jacobian device batch -> host affine int pairs.
+
+    The projective->affine division happens host-side: for the small
+    batches this is used on (verifier outputs), three bigint muls and one
+    pow per point beat compiling the 254-step device inversion scan."""
+    from ..fields import Q
+
+    xs = FQ.from_mont_array(p.x)
+    ys = FQ.from_mont_array(p.y)
+    zs = FQ.from_mont_array(p.z)
+    out = []
+    for x, y, z in zip(xs, ys, zs):
+        if z == 0:
+            out.append(None)
+            continue
+        zinv = pow(z, -1, Q)
+        zi2 = zinv * zinv % Q
+        out.append((x * zi2 % Q, y * zi2 % Q * zinv % Q))
+    return out
