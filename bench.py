@@ -90,7 +90,7 @@ def main():
         return best
 
     full_aggregate_once()  # warmup + compile
-    agg_rate = best_rate(full_aggregate_once, trials=3)
+    agg_rate = best_rate(full_aggregate_once, trials=2)
 
     # --- device verification algebra alone --------------------------------
     parsed = [parse_proof(vk, protos[i % 2][2], protos[i % 2][1]) for i in range(B)]
@@ -103,7 +103,7 @@ def main():
         out = verify_algebra_fast(vk, batch, parsed_list)
         jax.block_until_ready(out)
 
-    tpu_rate = best_rate(algebra_once, trials=5)
+    tpu_rate = best_rate(algebra_once, trials=3)
     pub, proof = protos[0][0], protos[0][1]
 
     # --- host baseline: same algebra, single thread, python ints ----------
@@ -133,11 +133,11 @@ def main():
     )
     a = jnp.tile(a, (m // 256, 1))
     r = fo.mont_mul(a, a, fo.FR)
-    r.block_until_ready()
+    np.asarray(r[0])  # force execution (this backend defers until D2H)
     t0 = time.time()
     for _ in range(10):
         r = fo.mont_mul(r, a, fo.FR)
-    r.block_until_ready()
+    np.asarray(r[0])
     fmul_rate = 10 * m / (time.time() - t0)
 
     print(
