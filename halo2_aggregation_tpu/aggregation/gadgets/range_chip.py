@@ -5,9 +5,17 @@ Re-design of halo2wrong's `RangeChip` (SURVEY.md §2b): a value of
 a..d of dedicated range rows; a fixed `q_range` column gates four lookup
 arguments (one per wire) into the shared table, and the same main-gate row
 constrains the weighted recomposition.  Partial chunks of s < 17 bits are
-checked with the scaling trick: `chunk * 2^(17-s)` must itself be a table
-member, which holds iff chunk < 2^s — so one table serves every width
-(halo2wrong's `overflow_lengths` tables collapse into this).
+checked with the scaling trick: BOTH the raw chunk `cv` and the scaled
+chunk `sv = cv * 2^(17-s)` are looked up, and a main-gate row pins
+`sv = cv * 2^(17-s)`.  Since cv < 2^17 the product never wraps mod r, so
+sv < 2^17 forces cv < 2^s — one table serves every width (halo2wrong's
+`overflow_lengths` tables collapse into this).
+
+Soundness note (round-2 fix): looking up only sv and recomposing with
+coefficient 2^(17i)/2^(17-s) was UNDERCONSTRAINED — sv was never forced to
+be a multiple of 2^(17-s), so cv = sv * scale^{-1} mod r could be any field
+element.  The raw chunk is now a first-class looked-up cell; see
+tests/test_gadgets.py::test_range_check_malicious_partial_chunk.
 """
 
 from __future__ import annotations
@@ -96,12 +104,20 @@ class RangeChip:
         for i in range(nchunks):
             cv = None if chunks is None else chunks[i]
             if i == nchunks - 1 and rem:
-                # scaled partial chunk: place chunk * 2^(17-rem), weight
-                # adjusted so the recomposition still sums to `value`
+                # Partial top chunk of `rem` bits: emit one extra looked-up
+                # row pinning sv = cv * 2^(17-rem).  sv on wire a and cv on
+                # wire b are both looked up (q_range on), so sv < 2^17 and
+                # cv < 2^17; then cv*scale < 2^34 < r never wraps, and
+                # sv < 2^17 forces cv < 2^rem.  The raw chunk cv is then
+                # copy-used in the recomposition row at its plain weight.
                 scale = 1 << (LOOKUP_BITS - rem)
                 sv = None if cv is None else cv * scale
-                coeff = (1 << (LOOKUP_BITS * i)) * pow(scale, -1, R) % R
-                terms.append(Term.unassigned(sv, coeff))
+                srow = mg.combine(
+                    ctx,
+                    [Term.unassigned(sv, 1), Term.unassigned(cv, R - scale)],
+                )
+                ctx.assignment.assign_fixed(self.config.q_range, srow[0].row, 1)
+                terms.append(Term.from_assigned(srow[1], 1 << (LOOKUP_BITS * i)))
             else:
                 terms.append(Term.unassigned(cv, 1 << (LOOKUP_BITS * i)))
         while len(terms) < 4:

@@ -11,22 +11,49 @@ on the domain (see prover.py) rather than by sequential synthetic division.
 The monomial SRS never materializes.
 
 Like the reference (which caches `/tmp/halo2-{k}.params`), generated params
-are cached on disk keyed by k and seed.
+are cached on disk keyed by k and seed.  The cache format is plain numpy
+`.npz` (uint64 limb arrays) — never pickle — and the cache directory is
+created mode 0700, so a pre-planted file can corrupt at most the SRS values
+(which commit_lagrange consumers treat as data), not execute code.
 """
 
 from __future__ import annotations
 
 import os
-import pickle
 
 import numpy as np
 
 from ..fields import R, fr_omega
 from ..oracle import curve as oc
-from ..utils.serialization import g1_compress
+from ..utils.u64 import (
+    int_to_u64,
+    ints_to_u64,
+    points_to_u64,
+    u64_to_int,
+    u64_to_ints,
+    u64_to_points,
+)
 
 
-CACHE_DIR = os.environ.get("H2A_PARAMS_CACHE", "/tmp/h2a-params")
+def _default_cache_dir() -> str:
+    env = os.environ.get("H2A_PARAMS_CACHE")
+    if env:
+        return env
+    base = os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache"))
+    return os.path.join(base, "h2a-params")
+
+
+CACHE_DIR = _default_cache_dir()
+
+
+def _g2_to_u64(p) -> np.ndarray:
+    (x0, x1), (y0, y1) = p
+    return ints_to_u64([x0, x1, y0, y1]).reshape(-1)
+
+
+def _g2_from_u64(arr):
+    x0, x1, y0, y1 = u64_to_ints(np.asarray(arr).reshape(4, 4))
+    return ((x0, x1), (y0, y1))
 
 
 class Params:
@@ -34,37 +61,74 @@ class Params:
 
     Attributes:
       g1: generator (int pair)
-      g_lagrange: list of n affine points [L_i(tau)]G1 (host int pairs)
+      g_lagrange_u64: (n, 8) uint64 — x‖y limbs of [L_i(tau)]G1, plain form
+      g_lagrange_inf: (n,) uint8 infinity flags
       g2, s_g2: G2 generator and [tau]G2 (Fq2 coordinate pairs)
     """
 
-    def __init__(self, k: int, g_lagrange, g2, s_g2):
+    def __init__(self, k: int, g_lagrange_u64, g_lagrange_inf, g2, s_g2):
         self.k = k
         self.n = 1 << k
         self.g1 = oc.g1_generator()
-        self.g_lagrange = g_lagrange
+        self.g_lagrange_u64 = np.asarray(g_lagrange_u64, dtype=np.uint64)
+        self.g_lagrange_inf = np.asarray(g_lagrange_inf, dtype=np.uint8)
         self.g2 = g2
         self.s_g2 = s_g2
         self._device_points = None
+        self._g_lagrange_ints = None
 
-    # -- commitments --------------------------------------------------------
+    @classmethod
+    def from_points(cls, k: int, g_lagrange, g2, s_g2) -> "Params":
+        pts, infs = points_to_u64(g_lagrange)
+        p = cls(k, pts, infs, g2, s_g2)
+        p._g_lagrange_ints = list(g_lagrange)
+        return p
+
+    @property
+    def g_lagrange(self) -> list:
+        """Oracle-format view: list of (x, y) int pairs / None (lazy)."""
+        if self._g_lagrange_ints is None:
+            self._g_lagrange_ints = u64_to_points(
+                self.g_lagrange_u64, self.g_lagrange_inf
+            )
+        return self._g_lagrange_ints
+
+    # -- commitments ---------------------------------------------------------
     def commit_lagrange(self, values) -> tuple | None:
         """Commit to a polynomial given by its evaluations on the domain.
-        Host orchestration, device MSM (falls back to oracle for tiny n)."""
-        assert len(values) <= self.n
-        vals = [int(v) % R for v in values]
-        if len(vals) < self.n:
-            vals = vals + [0] * (self.n - len(vals))
-        return self._msm(vals)
 
-    def _msm(self, scalars_int):
+        `values` is a list of ints or an (n, 4) uint64 limb array.  Host
+        orchestration; native C++ Pippenger by default, device MSM under
+        H2A_DEVICE_MSM=1, pure-Python oracle as the last resort."""
+        if isinstance(values, np.ndarray) and values.dtype == np.uint64:
+            scalars_u64 = values
+            if scalars_u64.shape[0] < self.n:
+                scalars_u64 = np.vstack(
+                    [
+                        scalars_u64,
+                        np.zeros(
+                            (self.n - scalars_u64.shape[0], 4), dtype=np.uint64
+                        ),
+                    ]
+                )
+        else:
+            vals = [int(v) % R for v in values]
+            if len(vals) > self.n:
+                raise ValueError("polynomial larger than the domain")
+            vals = vals + [0] * (self.n - len(vals))
+            scalars_u64 = ints_to_u64(vals)
+        return self._msm(scalars_u64)
+
+    def _msm(self, scalars_u64: np.ndarray):
         use_device = os.environ.get("H2A_DEVICE_MSM", "0") == "1"
         if not use_device:
             from ..utils import native
 
             if native.available():
-                return native.g1_msm(self.g_lagrange, scalars_int)
-            return oc.g1_msm(self.g_lagrange, scalars_int)
+                return native.g1_msm_u64(
+                    self.g_lagrange_u64, self.g_lagrange_inf, scalars_u64
+                )
+            return oc.g1_msm(self.g_lagrange, u64_to_ints(scalars_u64))
         import jax.numpy as jnp
 
         from ..ops import curve_ops as co
@@ -74,35 +138,40 @@ class Params:
         if self._device_points is None:
             self._device_points = co.affine_from_ints(self.g_lagrange)
         res = msm_mod.msm(
-            self._device_points, jnp.asarray(ints_to_limbs(scalars_int)), nbits=254
+            self._device_points,
+            jnp.asarray(ints_to_limbs(u64_to_ints(scalars_u64))),
+            nbits=254,
         )
         return co.jac_to_ints(co.JacPoint(res.x[None], res.y[None], res.z[None]))[0]
 
-    # -- persistence --------------------------------------------------------
+    # -- persistence ---------------------------------------------------------
     def save(self, path: str):
-        with open(path, "wb") as f:
-            pickle.dump(
-                {
-                    "k": self.k,
-                    "g_lagrange": self.g_lagrange,
-                    "g2": self.g2,
-                    "s_g2": self.s_g2,
-                },
-                f,
-            )
+        np.savez(
+            path if path.endswith(".npz") else path + ".npz",
+            k=np.array([self.k], dtype=np.int64),
+            g_lagrange=self.g_lagrange_u64,
+            g_lagrange_inf=self.g_lagrange_inf,
+            g2=_g2_to_u64(self.g2),
+            s_g2=_g2_to_u64(self.s_g2),
+        )
 
     @staticmethod
     def load(path: str) -> "Params":
-        with open(path, "rb") as f:
-            d = pickle.load(f)
-        return Params(d["k"], d["g_lagrange"], d["g2"], d["s_g2"])
+        with np.load(path, allow_pickle=False) as d:
+            return Params(
+                int(d["k"][0]),
+                d["g_lagrange"],
+                d["g_lagrange_inf"],
+                _g2_from_u64(d["g2"]),
+                _g2_from_u64(d["s_g2"]),
+            )
 
 
 def setup(k: int, seed: int = 0xE5BC0654) -> Params:
     """Toy (tau-known) setup, deterministic in (k, seed) — the analog of
-    `Setup::new(k, XorShiftRng(seed))`.  Caches to disk."""
-    os.makedirs(CACHE_DIR, exist_ok=True)
-    cache = os.path.join(CACHE_DIR, f"params-{k}-{seed:x}.pkl")
+    `Setup::new(k, XorShiftRng(seed))`.  Caches to disk (npz)."""
+    os.makedirs(CACHE_DIR, mode=0o700, exist_ok=True)
+    cache = os.path.join(CACHE_DIR, f"params-{k}-{seed:x}.npz")
     if os.path.exists(cache):
         return Params.load(cache)
 
@@ -112,7 +181,6 @@ def setup(k: int, seed: int = 0xE5BC0654) -> Params:
     omega = fr_omega(k)
     # L_i(tau) = omega^i (tau^n - 1) / (n (tau - omega^i))
     tn1 = (pow(tau, n, R) - 1) % R
-    n_inv = pow(n, -1, R)
     scalars = []
     wi = 1
     for _ in range(n):
@@ -123,7 +191,7 @@ def setup(k: int, seed: int = 0xE5BC0654) -> Params:
     g_lagrange = _batch_g1_mul(g, scalars)
     g2 = oc.g2_generator()
     s_g2 = oc.g2_mul(g2, tau)
-    params = Params(k, g_lagrange, g2, s_g2)
+    params = Params.from_points(k, g_lagrange, g2, s_g2)
     params.save(cache)
     return params
 

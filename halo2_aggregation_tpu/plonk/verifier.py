@@ -177,7 +177,8 @@ def verify_proof(
     inst_comms = []
     for ci in range(cs.num_instance_columns):
         col = list(instances[ci])
-        assert len(col) <= cs.usable_rows(n), "instance too large"
+        if len(col) > cs.usable_rows(n):
+            raise ValueError("instance too large")
         inst_comms.append(params.commit_lagrange(col))
 
     p = parse_proof(vk, inst_comms, proof)

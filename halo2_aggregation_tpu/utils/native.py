@@ -78,26 +78,22 @@ def _jac_to_affine(x, y, z):
     return (x * zi2 % Q, y * zi2 % Q * zinv % Q)
 
 
-def g1_msm(points, scalars):
-    """Native Pippenger MSM over oracle-format points; None if lib absent."""
+def g1_msm_u64(points_u64, infs, scalars_u64):
+    """Native Pippenger MSM over (n,8)/(n,)/(n,4) uint64 numpy arrays —
+    the zero-copy fast path used by Params.commit_lagrange."""
     lib = _load()
     if lib is None:
         return NotImplemented
-    n = len(points)
-    pts = np.zeros(n * 8, dtype=np.uint64)
-    infs = np.zeros(n, dtype=np.uint8)
-    ss = np.zeros(n * 4, dtype=np.uint64)
-    for i, (p, s) in enumerate(zip(points, scalars)):
-        if p is None:
-            infs[i] = 1
-        else:
-            pts[i * 8 : i * 8 + 4] = _to_u64_limbs(p[0])
-            pts[i * 8 + 4 : i * 8 + 8] = _to_u64_limbs(p[1])
-        ss[i * 4 : i * 4 + 4] = _to_u64_limbs(int(s))
+    pts = np.ascontiguousarray(points_u64, dtype=np.uint64)
+    inf = np.ascontiguousarray(infs, dtype=np.uint8)
+    ss = np.ascontiguousarray(scalars_u64, dtype=np.uint64)
+    n = pts.shape[0]
+    if ss.shape[0] != n or inf.shape[0] != n:
+        raise ValueError("msm input length mismatch")
     out = np.zeros(12, dtype=np.uint64)
     lib.h2a_g1_msm(
         pts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
-        infs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        inf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         ss.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         n,
         0,
@@ -106,6 +102,25 @@ def g1_msm(points, scalars):
     return _jac_to_affine(
         _from_u64(out[0:4]), _from_u64(out[4:8]), _from_u64(out[8:12])
     )
+
+
+def g1_msm(points, scalars):
+    """Native Pippenger MSM over oracle-format points; None if lib absent."""
+    lib = _load()
+    if lib is None:
+        return NotImplemented
+    n = len(points)
+    pts = np.zeros((n, 8), dtype=np.uint64)
+    infs = np.zeros(n, dtype=np.uint8)
+    ss = np.zeros((n, 4), dtype=np.uint64)
+    for i, (p, s) in enumerate(zip(points, scalars)):
+        if p is None:
+            infs[i] = 1
+        else:
+            pts[i, 0:4] = _to_u64_limbs(p[0])
+            pts[i, 4:8] = _to_u64_limbs(p[1])
+        ss[i] = _to_u64_limbs(int(s))
+    return g1_msm_u64(pts, infs, ss)
 
 
 def g1_batch_mul(base, scalars):

@@ -20,7 +20,10 @@ def fq_to_bytes(x: int) -> bytes:
 
 def fq_from_bytes(b: bytes) -> int:
     x = int.from_bytes(b, "little")
-    assert x < Q, "non-canonical Fq encoding"
+    if x >= Q:
+        # explicit raise (not assert): these run on attacker-controlled
+        # proof bytes and must survive `python -O` (proof malleability).
+        raise ValueError("non-canonical Fq encoding")
     return x
 
 
@@ -30,7 +33,8 @@ def fr_to_bytes(x: int) -> bytes:
 
 def fr_from_bytes(b: bytes) -> int:
     x = int.from_bytes(b, "little")
-    assert x < R, "non-canonical Fr encoding"
+    if x >= R:
+        raise ValueError("non-canonical Fr encoding")
     return x
 
 
@@ -57,7 +61,8 @@ def g1_decompress(b: bytes):
         return None
     sign = bool(v & _SIGN_BIT)
     x = v & ~_SIGN_BIT
-    assert x < Q, "bad point encoding"
+    if x >= Q:
+        raise ValueError("bad point encoding")
     y = fq_sqrt((x * x % Q * x + CURVE_B) % Q)
     if y is None:
         raise ValueError("x not on curve")

@@ -98,3 +98,59 @@ def test_range_check():
         assert False, "should have raised"
     except AssertionError:
         pass
+
+
+@pytest.mark.slow
+def test_range_check_partial_chunk_widths():
+    # widths used by IntegerChip carries / top limbs (51, 52, 69) all have
+    # partial top chunks — honest witnesses must pass with the fixed scheme
+    k = 18
+    cs, mg, rc, asg, ctx = build_main_gate(k, with_range=True)
+    rc.load_table(asg)
+    vals_bits = [
+        ((1 << 51) - 1, 51),
+        ((1 << 52) - 1, 52),
+        ((1 << 69) - 1, 69),
+        (0, 51),
+    ]
+    cells = [rc.range_check(ctx, v, bits) for v, bits in vals_bits]
+    assert [c.value for c in cells] == [v for v, _ in vals_bits]
+    assert mock_verify_fast(cs, asg) == []
+
+
+@pytest.mark.slow
+def test_range_check_malicious_partial_chunk():
+    """ADVICE.md round-1 high finding: the old scaling trick admitted any
+    field element into range_check(_, bits) for bits % 17 != 0 because the
+    scaled chunk sv was never constrained to be a multiple of 2^(17-rem).
+    Replay that forged witness against the fixed constraint pattern and
+    assert the mock prover rejects it (the raw chunk cv is now looked up)."""
+    k = 18
+    for bits in (5, 52):
+        cs, mg, rc, asg, ctx = build_main_gate(k, with_range=True)
+        rc.load_table(asg)
+        rem = bits % LOOKUP_BITS
+        nfull = bits // LOOKUP_BITS
+        scale = 1 << (LOOKUP_BITS - rem)
+        sv = 3  # < 2^17 but NOT a multiple of scale
+        assert sv % scale != 0
+        cv = sv * pow(scale, -1, R) % R  # ~254-bit field element
+        # cheating prover emits the chip's exact row pattern:
+        srow = mg.combine(
+            ctx, [Term.unassigned(sv, 1), Term.unassigned(cv, R - scale)]
+        )
+        asg.assign_fixed(rc.config.q_range, srow[0].row, 1)
+        terms = [
+            Term.unassigned(0, 1 << (LOOKUP_BITS * i)) for i in range(nfull)
+        ]
+        terms.append(Term.from_assigned(srow[1], 1 << (LOOKUP_BITS * nfull)))
+        while len(terms) < 4:
+            terms.append(Term.zero())
+        claimed = cv * (1 << (LOOKUP_BITS * nfull)) % R
+        terms.append(Term.unassigned(claimed, R - 1))
+        cells = mg.combine(ctx, terms)
+        asg.assign_fixed(rc.config.q_range, cells[0].row, 1)
+        # every main-gate row is satisfied mod r; only the cv lookup can
+        # (and must) catch the forgery
+        failures = mock_verify_fast(cs, asg)
+        assert failures, f"forged witness for bits={bits} must be rejected"
