@@ -2,8 +2,13 @@
 
 Builds the shared library on first use (g++, cached next to the source);
 falls back silently to the pure-Python oracle when unavailable.  This is
-the framework's native CPU runtime piece — SRS generation and host-side
-commitments — around the TPU compute path.
+the framework's native CPU runtime piece — SRS generation, host-side
+commitments, and the Fr polynomial engine behind the scaled prover —
+around the TPU compute path.
+
+Array conventions: field vectors are C-contiguous (n, 4) uint64 limb
+arrays; the `fr_*` entry points operate in Montgomery form (convert with
+fr_to_mont / fr_from_mont at the boundary).
 """
 
 from __future__ import annotations
@@ -22,6 +27,17 @@ _TRIED = False
 _SRC = os.path.join(os.path.dirname(__file__), "..", "..", "native", "h2a_native.cpp")
 _SO = os.path.join(os.path.dirname(__file__), "..", "..", "native", "libh2a_native.so")
 
+_U64P = ctypes.POINTER(ctypes.c_uint64)
+_U8P = ctypes.POINTER(ctypes.c_uint8)
+
+
+def _p(a):
+    return a.ctypes.data_as(_U64P)
+
+
+def _p8(a):
+    return a.ctypes.data_as(_U8P)
+
 
 def _load():
     global _LIB, _TRIED
@@ -33,25 +49,40 @@ def _load():
         so = os.path.abspath(_SO)
         if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", so, src],
+                ["g++", "-O3", "-fopenmp", "-shared", "-fPIC", "-o", so, src],
                 check=True,
                 capture_output=True,
             )
         lib = ctypes.CDLL(so)
         lib.h2a_g1_msm.argtypes = [
-            ctypes.POINTER(ctypes.c_uint64),
-            ctypes.POINTER(ctypes.c_uint8),
-            ctypes.POINTER(ctypes.c_uint64),
-            ctypes.c_size_t,
+            _U64P, _U8P, _U64P, ctypes.c_size_t, ctypes.c_int, _U64P,
+        ]
+        lib.h2a_g1_batch_mul.argtypes = [_U64P, _U64P, ctypes.c_size_t, _U64P]
+        lib.h2a_g1_batch_mul_win.argtypes = [
+            _U64P, _U64P, ctypes.c_size_t, _U64P, _U8P,
+        ]
+        lib.h2a_g1_normalize.argtypes = [_U64P, ctypes.c_size_t, _U64P, _U8P]
+        lib.h2a_fr_to_mont.argtypes = [_U64P, ctypes.c_size_t]
+        lib.h2a_fr_from_mont.argtypes = [_U64P, ctypes.c_size_t]
+        lib.h2a_fr_vec_binop.argtypes = [
             ctypes.c_int,
-            ctypes.POINTER(ctypes.c_uint64),
+            _U64P, ctypes.c_size_t, ctypes.c_long,
+            _U64P, ctypes.c_size_t, ctypes.c_long,
+            _U64P, ctypes.c_size_t,
         ]
-        lib.h2a_g1_batch_mul.argtypes = [
-            ctypes.POINTER(ctypes.c_uint64),
-            ctypes.POINTER(ctypes.c_uint64),
-            ctypes.c_size_t,
-            ctypes.POINTER(ctypes.c_uint64),
+        lib.h2a_fr_vec_neg.argtypes = [_U64P, _U64P, ctypes.c_size_t]
+        lib.h2a_fr_vec_scale.argtypes = [_U64P, ctypes.c_size_t, _U64P]
+        lib.h2a_fr_scale_pows.argtypes = [_U64P, ctypes.c_size_t, _U64P]
+        lib.h2a_fr_ntt.argtypes = [_U64P, ctypes.c_uint32, _U64P]
+        lib.h2a_fr_batch_inv.argtypes = [_U64P, ctypes.c_size_t]
+        lib.h2a_fr_grand_product.argtypes = [
+            _U64P, _U64P, _U64P, _U64P, ctypes.c_size_t,
         ]
+        lib.h2a_fr_horner.argtypes = [_U64P, ctypes.c_size_t, _U64P, _U64P]
+        lib.h2a_fr_divide_linear.argtypes = [
+            _U64P, ctypes.c_size_t, _U64P, _U64P,
+        ]
+        lib.h2a_fr_fold.argtypes = [_U64P, _U64P, _U64P, ctypes.c_size_t]
         _LIB = lib
     except Exception:
         _LIB = None
@@ -152,3 +183,111 @@ def g1_batch_mul(base, scalars):
             )
         )
     return res
+
+
+# ---------------------------------------------------------------------------
+# Fr polynomial engine wrappers (Montgomery-form (n, 4) uint64 arrays)
+# ---------------------------------------------------------------------------
+
+
+def _cc(a):
+    """Ensure a C-contiguous uint64 array (no copy when already so)."""
+    return np.ascontiguousarray(a, dtype=np.uint64)
+
+
+def fr_to_mont(a: np.ndarray) -> np.ndarray:
+    a = _cc(a).copy() if not a.flags.writeable else _cc(a)
+    _LIB.h2a_fr_to_mont(_p(a), a.shape[0])
+    return a
+
+
+def fr_from_mont(a: np.ndarray) -> np.ndarray:
+    a = _cc(a)
+    _LIB.h2a_fr_from_mont(_p(a), a.shape[0])
+    return a
+
+
+def fr_vec_binop(op: int, x, xrot: int, y, yrot: int, n: int) -> np.ndarray:
+    """op: 0 add, 1 sub, 2 mul; x/y are (m,4) mont arrays, m in {1, len}."""
+    x = _cc(x)
+    y = _cc(y)
+    out = np.empty((n, 4), dtype=np.uint64)
+    _LIB.h2a_fr_vec_binop(
+        op, _p(x), x.shape[0], xrot, _p(y), y.shape[0], yrot, _p(out), n
+    )
+    return out
+
+
+def fr_vec_neg(x) -> np.ndarray:
+    x = _cc(x)
+    out = np.empty_like(x)
+    _LIB.h2a_fr_vec_neg(_p(x), _p(out), x.shape[0])
+    return out
+
+
+def fr_vec_scale_inplace(a: np.ndarray, c_mont: np.ndarray):
+    _LIB.h2a_fr_vec_scale(_p(a), a.shape[0], _p(_cc(c_mont)))
+
+
+def fr_scale_pows_inplace(a: np.ndarray, g_mont: np.ndarray):
+    _LIB.h2a_fr_scale_pows(_p(a), a.shape[0], _p(_cc(g_mont)))
+
+
+def fr_ntt_inplace(a: np.ndarray, k: int, omega_plain: np.ndarray):
+    """In-place radix-2 NTT of mont-form (2^k, 4); omega in PLAIN form."""
+    _LIB.h2a_fr_ntt(_p(a), k, _p(_cc(omega_plain)))
+
+
+def fr_batch_inv_inplace(a: np.ndarray):
+    _LIB.h2a_fr_batch_inv(_p(a), a.shape[0])
+
+
+def fr_grand_product(num, den, init_mont) -> np.ndarray:
+    num = _cc(num)
+    den = _cc(den)
+    m = num.shape[0]
+    z = np.empty((m + 1, 4), dtype=np.uint64)
+    _LIB.h2a_fr_grand_product(_p(num), _p(den), _p(_cc(init_mont)), _p(z), m)
+    return z
+
+
+def fr_horner(coeffs, x_mont) -> np.ndarray:
+    coeffs = _cc(coeffs)
+    out = np.empty(4, dtype=np.uint64)
+    _LIB.h2a_fr_horner(_p(coeffs), coeffs.shape[0], _p(_cc(x_mont)), _p(out))
+    return out
+
+
+def fr_divide_linear(coeffs, z_mont) -> np.ndarray:
+    coeffs = _cc(coeffs)
+    q = np.empty((coeffs.shape[0] - 1, 4), dtype=np.uint64)
+    _LIB.h2a_fr_divide_linear(
+        _p(coeffs), coeffs.shape[0], _p(_cc(z_mont)), _p(q)
+    )
+    return q
+
+
+def fr_fold_inplace(acc: np.ndarray, x, v_mont):
+    """acc = acc * v + x, elementwise."""
+    _LIB.h2a_fr_fold(_p(acc), _p(_cc(x)), _p(_cc(v_mont)), acc.shape[0])
+
+
+def g1_normalize(jac_u64: np.ndarray):
+    """(n, 12) plain Jacobian -> ((n, 8) plain affine, (n,) inf flags)."""
+    jac_u64 = _cc(jac_u64)
+    n = jac_u64.shape[0]
+    aff = np.empty((n, 8), dtype=np.uint64)
+    inf = np.empty(n, dtype=np.uint8)
+    _LIB.h2a_g1_normalize(_p(jac_u64), n, _p(aff), _p8(inf))
+    return aff, inf
+
+
+def g1_batch_mul_win(base_xy: np.ndarray, scalars_u64: np.ndarray):
+    """out[i] = scalars[i] * base; returns ((n,8) affine plain, (n,) inf)."""
+    base_xy = _cc(base_xy)
+    scalars_u64 = _cc(scalars_u64)
+    n = scalars_u64.shape[0]
+    aff = np.empty((n, 8), dtype=np.uint64)
+    inf = np.empty(n, dtype=np.uint8)
+    _LIB.h2a_g1_batch_mul_win(_p(base_xy), _p(scalars_u64), n, _p(aff), _p8(inf))
+    return aff, inf

@@ -1,18 +1,24 @@
-// h2a_native: fast host-side BN254 G1 MSM for the framework's CPU runtime.
+// h2a_native: the framework's native CPU runtime — BN254 G1 MSM and the
+// Fr polynomial engine (NTT / vector field ops / grand products) that the
+// scaled prover orchestrates from Python.
 //
-// The TPU owns the verification/proving compute path; this library is the
-// native runtime piece around it (SRS generation, commit_lagrange in the
-// host prover orchestration, test oracles) — the role the reference
-// delegates to its Rust halo2 fork's multiexp (SURVEY.md §2b).
+// The TPU owns the batched verification compute path; this library is the
+// native runtime around it (SRS generation, commit_lagrange, the k=23
+// outer-proof polynomial arithmetic, test oracles) — the role the
+// reference delegates to its Rust halo2 fork's multiexp/EvaluationDomain
+// (SURVEY.md §2b).
 //
-// Fq is 4x64-bit limbs in Montgomery form (CIOS with unsigned __int128);
-// points are Jacobian; the MSM is windowed Pippenger with bucket suffix
-// sums.  Exposed as a C ABI for ctypes.
+// Fq/Fr are 4x64-bit limbs in Montgomery form (CIOS with unsigned
+// __int128); points are Jacobian with mixed-affine bucket additions; the
+// MSM is windowed Pippenger with bucket suffix sums, threaded.  All Fr
+// vector entry points operate on (n, 4) uint64 arrays in Montgomery form
+// (numpy interchange; see halo2_aggregation_tpu/utils/native.py).
 //
-// Build: g++ -O3 -shared -fPIC -o libh2a_native.so h2a_native.cpp
+// Build: g++ -O3 -fopenmp -shared -fPIC -o libh2a_native.so h2a_native.cpp
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 typedef unsigned __int128 u128;
@@ -218,33 +224,77 @@ static void jac_add(Jac &r, const Jac &p, const Jac &q) {
   r.z = z3;
 }
 
-extern "C" {
+// ---------------------------------------------------------------------------
+// mixed (Jacobian + affine) addition — the Pippenger bucket workhorse
+// ---------------------------------------------------------------------------
 
-// points: n * 8 u64 (x limbs, y limbs), plain (non-Montgomery) canonical;
-// infs: n bytes; scalars: n * 4 u64; out: 12 u64 Jacobian (plain form).
-void h2a_g1_msm(const u64 *points, const uint8_t *infs, const u64 *scalars,
-                size_t n, int window_bits, u64 *out) {
-  int c = window_bits > 0 ? window_bits : (n < 32 ? 4 : (n < 4096 ? 8 : 12));
+struct AffM {
+  Fq x, y;  // Montgomery form
+  uint8_t inf;
+};
+
+// r = p + q (q affine, z=1 implicit), madd-2007-bl.
+static void jac_add_aff(Jac &r, const Jac &p, const AffM &q) {
+  if (q.inf) {
+    r = p;
+    return;
+  }
+  if (is_zero(p.z)) {
+    r.x = q.x;
+    r.y = q.y;
+    memcpy(r.z.v, R1, 32);
+    return;
+  }
+  Fq z1z1, u2, s2, h, hh, i, j, rr, v, t;
+  mont_sq(z1z1, p.z);
+  mont_mul(u2, q.x, z1z1);
+  mont_mul(t, p.z, z1z1);
+  mont_mul(s2, q.y, t);
+  sub_mod(h, u2, p.x);
+  sub_mod(rr, s2, p.y);
+  dbl_mod(rr, rr);
+  if (is_zero(h)) {
+    if (is_zero(rr)) {
+      Jac qj;
+      qj.x = q.x;
+      qj.y = q.y;
+      memcpy(qj.z.v, R1, 32);
+      jac_double(r, qj);
+    } else {
+      jac_set_inf(r);
+    }
+    return;
+  }
+  mont_sq(hh, h);
+  dbl_mod(i, hh);
+  dbl_mod(i, i);  // i = 4*hh
+  mont_mul(j, h, i);
+  mont_mul(v, p.x, i);
+  Fq x3, y3, z3;
+  mont_sq(x3, rr);
+  sub_mod(x3, x3, j);
+  sub_mod(x3, x3, v);
+  sub_mod(x3, x3, v);
+  sub_mod(t, v, x3);
+  mont_mul(t, rr, t);
+  Fq y1j;
+  mont_mul(y1j, p.y, j);
+  dbl_mod(y1j, y1j);
+  sub_mod(y3, t, y1j);
+  add_mod(z3, p.z, h);
+  mont_sq(z3, z3);
+  sub_mod(z3, z3, z1z1);
+  sub_mod(z3, z3, hh);
+  r.x = x3;
+  r.y = y3;
+  r.z = z3;
+}
+
+// one Pippenger pass over a contiguous range of points (affine Montgomery)
+static void msm_core(const AffM *pts, const u64 *scalars, size_t n, int c,
+                     Jac &result) {
   int nwin = (254 + c - 1) / c;
   size_t nbuckets = ((size_t)1 << c) - 1;
-
-  // convert points to Montgomery Jacobian once
-  std::vector<Jac> pts(n);
-  Fq r2;
-  memcpy(r2.v, R2, 32);
-  for (size_t i = 0; i < n; i++) {
-    if (infs[i]) {
-      jac_set_inf(pts[i]);
-      continue;
-    }
-    Fq x, y;
-    memcpy(x.v, points + i * 8, 32);
-    memcpy(y.v, points + i * 8 + 4, 32);
-    mont_mul(pts[i].x, x, r2);
-    mont_mul(pts[i].y, y, r2);
-    memcpy(pts[i].z.v, R1, 32);
-  }
-
   std::vector<Jac> buckets(nbuckets);
   Jac acc;
   jac_set_inf(acc);
@@ -253,12 +303,12 @@ void h2a_g1_msm(const u64 *points, const uint8_t *infs, const u64 *scalars,
     for (auto &b : buckets) jac_set_inf(b);
     int shift = w * c;
     for (size_t i = 0; i < n; i++) {
-      if (is_zero(pts[i].z)) continue;
+      if (pts[i].inf) continue;
       int limb = shift / 64, off = shift % 64;
       u64 d = scalars[i * 4 + limb] >> off;
       if (off && limb < 3) d |= scalars[i * 4 + limb + 1] << (64 - off);
       d &= nbuckets;  // mask = 2^c - 1
-      if (d) jac_add(buckets[d - 1], buckets[d - 1], pts[i]);
+      if (d) jac_add_aff(buckets[d - 1], buckets[d - 1], pts[i]);
     }
     Jac run, tot;
     jac_set_inf(run);
@@ -268,6 +318,46 @@ void h2a_g1_msm(const u64 *points, const uint8_t *infs, const u64 *scalars,
       jac_add(tot, tot, run);
     }
     jac_add(acc, acc, tot);
+  }
+  result = acc;
+}
+
+extern "C" {
+
+// points: n * 8 u64 (x limbs, y limbs), plain (non-Montgomery) canonical;
+// infs: n bytes; scalars: n * 4 u64; out: 12 u64 Jacobian (plain form).
+void h2a_g1_msm(const u64 *points, const uint8_t *infs, const u64 *scalars,
+                size_t n, int window_bits, u64 *out) {
+  int c = window_bits > 0
+              ? window_bits
+              : (n < 32 ? 4 : (n < 4096 ? 8 : (n < (1u << 20) ? 12 : 15)));
+
+  // convert points to Montgomery affine once
+  std::vector<AffM> pts(n);
+  Fq r2;
+  memcpy(r2.v, R2, 32);
+  size_t nthreads = n >= (1 << 15) ? 2 : 1;
+#pragma omp parallel for if (n >= (1 << 15))
+  for (size_t i = 0; i < n; i++) {
+    pts[i].inf = infs[i];
+    if (infs[i]) continue;
+    Fq x, y;
+    memcpy(x.v, points + i * 8, 32);
+    memcpy(y.v, points + i * 8 + 4, 32);
+    mont_mul(pts[i].x, x, r2);
+    mont_mul(pts[i].y, y, r2);
+  }
+
+  Jac acc;
+  if (nthreads == 2) {
+    size_t half = n / 2;
+    Jac a, b;
+    std::thread t1([&] { msm_core(pts.data(), scalars, half, c, a); });
+    msm_core(pts.data() + half, scalars + half * 4, n - half, c, b);
+    t1.join();
+    jac_add(acc, a, b);
+  } else {
+    msm_core(pts.data(), scalars, n, c, acc);
   }
 
   // convert out of Montgomery (leave Jacobian; caller normalizes)
@@ -281,6 +371,167 @@ void h2a_g1_msm(const u64 *points, const uint8_t *infs, const u64 *scalars,
   memcpy(out, x.v, 32);
   memcpy(out + 4, y.v, 32);
   memcpy(out + 8, z.v, 32);
+}
+
+// batch-normalize n Jacobian points (plain form) to affine via one
+// batched inversion; out: n*8 u64 affine + n inf flags.
+void h2a_g1_normalize(const u64 *jac_in, size_t n, u64 *aff_out,
+                      uint8_t *inf_out) {
+  Fq r2;
+  memcpy(r2.v, R2, 32);
+  std::vector<Jac> pts(n);
+  for (size_t i = 0; i < n; i++) {
+    Fq x, y, z;
+    memcpy(x.v, jac_in + i * 12, 32);
+    memcpy(y.v, jac_in + i * 12 + 4, 32);
+    memcpy(z.v, jac_in + i * 12 + 8, 32);
+    mont_mul(pts[i].x, x, r2);
+    mont_mul(pts[i].y, y, r2);
+    mont_mul(pts[i].z, z, r2);
+  }
+  // batch inversion of the z's (Montgomery trick), zeros skipped
+  std::vector<Fq> prefix(n);
+  Fq run;
+  memcpy(run.v, R1, 32);
+  for (size_t i = 0; i < n; i++) {
+    if (!is_zero(pts[i].z)) mont_mul(run, run, pts[i].z);
+    prefix[i] = run;
+  }
+  Fq inv_run;
+  mont_inv(inv_run, run);
+  Fq one;
+  memset(one.v, 0, 32);
+  one.v[0] = 1;
+  for (size_t i = n; i-- > 0;) {
+    if (is_zero(pts[i].z)) {
+      inf_out[i] = 1;
+      memset(aff_out + i * 8, 0, 64);
+      continue;
+    }
+    inf_out[i] = 0;
+    Fq zinv;
+    if (i == 0) {
+      memcpy(zinv.v, inv_run.v, 32);
+    } else {
+      mont_mul(zinv, inv_run, prefix[i - 1]);
+    }
+    mont_mul(inv_run, inv_run, pts[i].z);
+    Fq zi2, zi3, xa, ya;
+    mont_sq(zi2, zinv);
+    mont_mul(zi3, zi2, zinv);
+    mont_mul(xa, pts[i].x, zi2);
+    mont_mul(ya, pts[i].y, zi3);
+    mont_mul(xa, xa, one);  // out of Montgomery
+    mont_mul(ya, ya, one);
+    memcpy(aff_out + i * 8, xa.v, 32);
+    memcpy(aff_out + i * 8 + 4, ya.v, 32);
+  }
+}
+
+// windowed (w=8) batched fixed-base scalar mul with batch normalization:
+// out[i] = scalars[i] * base, affine plain form.  This is the SRS
+// generator's hot loop (n = 2^23 at the reference's outer k).
+void h2a_g1_batch_mul_win(const u64 *base_xy, const u64 *scalars, size_t n,
+                          u64 *aff_out, uint8_t *inf_out) {
+  Fq r2;
+  memcpy(r2.v, R2, 32);
+  Jac base;
+  Fq bx, by;
+  memcpy(bx.v, base_xy, 32);
+  memcpy(by.v, base_xy + 4, 32);
+  mont_mul(base.x, bx, r2);
+  mont_mul(base.y, by, r2);
+  memcpy(base.z.v, R1, 32);
+
+  const int W = 8, NWIN = 32;  // 256 bits of scalar
+  // table[j][d] = d * 2^(8j) * G, affine Montgomery for mixed adds
+  std::vector<Jac> tj(NWIN * 256);
+  Jac pj = base;
+  for (int j = 0; j < NWIN; j++) {
+    jac_set_inf(tj[j * 256]);
+    tj[j * 256 + 1] = pj;
+    for (int d = 2; d < 256; d++)
+      jac_add(tj[j * 256 + d], tj[j * 256 + d - 1], pj);
+    for (int b = 0; b < W; b++) jac_double(pj, pj);
+  }
+  // normalize the table to affine (batch inversion, Montgomery stays)
+  std::vector<AffM> taff(NWIN * 256);
+  {
+    size_t m = tj.size();
+    std::vector<Fq> prefix(m);
+    Fq run;
+    memcpy(run.v, R1, 32);
+    for (size_t i = 0; i < m; i++) {
+      if (!is_zero(tj[i].z)) mont_mul(run, run, tj[i].z);
+      prefix[i] = run;
+    }
+    Fq inv_run;
+    mont_inv(inv_run, run);
+    for (size_t i = m; i-- > 0;) {
+      if (is_zero(tj[i].z)) {
+        taff[i].inf = 1;
+        continue;
+      }
+      taff[i].inf = 0;
+      Fq zinv;
+      if (i == 0) memcpy(zinv.v, inv_run.v, 32);
+      else mont_mul(zinv, inv_run, prefix[i - 1]);
+      mont_mul(inv_run, inv_run, tj[i].z);
+      Fq zi2, zi3;
+      mont_sq(zi2, zinv);
+      mont_mul(zi3, zi2, zinv);
+      mont_mul(taff[i].x, tj[i].x, zi2);
+      mont_mul(taff[i].y, tj[i].y, zi3);
+    }
+  }
+
+  std::vector<Jac> acc(n);
+#pragma omp parallel for schedule(static)
+  for (size_t i = 0; i < n; i++) {
+    Jac a;
+    jac_set_inf(a);
+    for (int j = 0; j < NWIN; j++) {
+      int limb = (j * W) / 64, off = (j * W) % 64;
+      u64 d = (scalars[i * 4 + limb] >> off) & 0xFF;
+      if (d) jac_add_aff(a, a, taff[j * 256 + d]);
+    }
+    acc[i] = a;
+  }
+
+  // batch-normalize the results straight to plain affine
+  std::vector<Fq> prefix(n);
+  Fq run;
+  memcpy(run.v, R1, 32);
+  for (size_t i = 0; i < n; i++) {
+    if (!is_zero(acc[i].z)) mont_mul(run, run, acc[i].z);
+    prefix[i] = run;
+  }
+  Fq inv_run;
+  mont_inv(inv_run, run);
+  Fq one;
+  memset(one.v, 0, 32);
+  one.v[0] = 1;
+  for (size_t i = n; i-- > 0;) {
+    if (is_zero(acc[i].z)) {
+      inf_out[i] = 1;
+      memset(aff_out + i * 8, 0, 64);
+      continue;
+    }
+    inf_out[i] = 0;
+    Fq zinv;
+    if (i == 0) memcpy(zinv.v, inv_run.v, 32);
+    else mont_mul(zinv, inv_run, prefix[i - 1]);
+    mont_mul(inv_run, inv_run, acc[i].z);
+    Fq zi2, zi3, xa, ya;
+    mont_sq(zi2, zinv);
+    mont_mul(zi3, zi2, zinv);
+    mont_mul(xa, acc[i].x, zi2);
+    mont_mul(ya, acc[i].y, zi3);
+    mont_mul(xa, xa, one);
+    mont_mul(ya, ya, one);
+    memcpy(aff_out + i * 8, xa.v, 32);
+    memcpy(aff_out + i * 8 + 4, ya.v, 32);
+  }
 }
 
 // batched fixed-base scalar mul: out[i] = scalars[i] * G  (for SRS gen)
@@ -316,6 +567,302 @@ void h2a_g1_batch_mul(const u64 *base_xy, const u64 *scalars, size_t n,
     memcpy(out_xyz + i * 12, ox.v, 32);
     memcpy(out_xyz + i * 12 + 4, oy.v, 32);
     memcpy(out_xyz + i * 12 + 8, oz.v, 32);
+  }
+}
+}
+
+// ===========================================================================
+// Fr (BN254 scalar field) polynomial engine
+//
+// All vector entry points below operate on (n, 4) uint64 arrays in
+// MONTGOMERY form; to_mont/from_mont convert at the Python boundary.
+// This is the native runtime behind plonk/engine.py's NativeVecOps and
+// the scaled prover (the role the reference's fork delegates to its
+// EvaluationDomain + rayon, SURVEY.md §2b).
+// ===========================================================================
+
+// BN254 scalar field modulus r, little-endian 64-bit limbs
+static const u64 FR_MOD[4] = {0x43e1f593f0000001ULL, 0x2833e84879b97091ULL,
+                              0xb85045b68181585dULL, 0x30644e72e131a029ULL};
+static const u64 FR_INV_NEG = 0xc2e1f593efffffffULL;
+static const u64 FR_R2[4] = {0x1bb8e645ae216da7ULL, 0x53fe3ab1e35c59e3ULL,
+                             0x8c49833d53bb8085ULL, 0x0216d0b17f4e44a5ULL};
+static const u64 FR_R1[4] = {0xac96341c4ffffffbULL, 0x36fc76959f60cd29ULL,
+                             0x666ea36f7879462eULL, 0x0e0a77c19a07df2fULL};
+static const u64 FR_M2[4] = {0x43e1f593efffffffULL, 0x2833e84879b97091ULL,
+                             0xb85045b68181585dULL, 0x30644e72e131a029ULL};
+
+struct Fr {
+  u64 v[4];
+};
+
+static inline bool fr_is_zero(const Fr &a) {
+  return (a.v[0] | a.v[1] | a.v[2] | a.v[3]) == 0;
+}
+
+static inline void fr_add(Fr &r, const Fr &a, const Fr &b) {
+  u128 carry = 0;
+  u64 t[4];
+  for (int i = 0; i < 4; i++) {
+    u128 s = (u128)a.v[i] + b.v[i] + carry;
+    t[i] = (u64)s;
+    carry = s >> 64;
+  }
+  if (carry || cmp(t, FR_MOD) >= 0) sub_nocarry(r.v, t, FR_MOD);
+  else memcpy(r.v, t, 32);
+}
+
+static inline void fr_sub(Fr &r, const Fr &a, const Fr &b) {
+  if (cmp(a.v, b.v) >= 0) {
+    sub_nocarry(r.v, a.v, b.v);
+  } else {
+    u64 t[4];
+    u128 carry = 0;
+    for (int i = 0; i < 4; i++) {
+      u128 s = (u128)a.v[i] + FR_MOD[i] + carry;
+      t[i] = (u64)s;
+      carry = s >> 64;
+    }
+    sub_nocarry(r.v, t, b.v);
+  }
+}
+
+static void fr_mont_mul(Fr &r, const Fr &a, const Fr &b) {
+  u64 t[6] = {0, 0, 0, 0, 0, 0};
+  for (int i = 0; i < 4; i++) {
+    u128 carry = 0;
+    for (int j = 0; j < 4; j++) {
+      u128 s = (u128)t[j] + (u128)a.v[i] * b.v[j] + carry;
+      t[j] = (u64)s;
+      carry = s >> 64;
+    }
+    u128 s = (u128)t[4] + carry;
+    t[4] = (u64)s;
+    t[5] = (u64)(s >> 64);
+    u64 m = t[0] * FR_INV_NEG;
+    carry = ((u128)t[0] + (u128)m * FR_MOD[0]) >> 64;
+    for (int j = 1; j < 4; j++) {
+      u128 s2 = (u128)t[j] + (u128)m * FR_MOD[j] + carry;
+      t[j - 1] = (u64)s2;
+      carry = s2 >> 64;
+    }
+    s = (u128)t[4] + carry;
+    t[3] = (u64)s;
+    t[4] = t[5] + (u64)(s >> 64);
+    t[5] = 0;
+  }
+  if (t[4] || cmp(t, FR_MOD) >= 0) sub_nocarry(r.v, t, FR_MOD);
+  else memcpy(r.v, t, 32);
+}
+
+static inline void fr_sq(Fr &r, const Fr &a) { fr_mont_mul(r, a, a); }
+
+static void fr_inv(Fr &r, const Fr &a) {
+  Fr acc;
+  memcpy(acc.v, FR_R1, 32);
+  for (int i = 3; i >= 0; --i) {
+    for (int b = 63; b >= 0; --b) {
+      fr_sq(acc, acc);
+      if ((FR_M2[i] >> b) & 1) fr_mont_mul(acc, acc, a);
+    }
+  }
+  r = acc;
+}
+
+static inline Fr *frp(u64 *p) { return (Fr *)p; }
+static inline const Fr *frp(const u64 *p) { return (const Fr *)p; }
+
+extern "C" {
+
+// in-place: a[i] -> a[i] * R mod r  (enter Montgomery form)
+void h2a_fr_to_mont(u64 *a, size_t n) {
+  Fr r2;
+  memcpy(r2.v, FR_R2, 32);
+#pragma omp parallel for schedule(static)
+  for (size_t i = 0; i < n; i++) fr_mont_mul(frp(a)[i], frp(a)[i], r2);
+}
+
+// in-place: leave Montgomery form
+void h2a_fr_from_mont(u64 *a, size_t n) {
+  Fr one;
+  memset(one.v, 0, 32);
+  one.v[0] = 1;
+#pragma omp parallel for schedule(static)
+  for (size_t i = 0; i < n; i++) fr_mont_mul(frp(a)[i], frp(a)[i], one);
+}
+
+// elementwise binop with rotation/broadcast semantics:
+//   out[i] = X op Y,  X = x[(i + xrot) mod xlen]  (broadcast if xlen == 1)
+// op: 0 add, 1 sub, 2 mul.  All Montgomery form.  out may alias x or y
+// only when both rotations are 0.
+void h2a_fr_vec_binop(int op, const u64 *x, size_t xlen, long xrot,
+                      const u64 *y, size_t ylen, long yrot, u64 *out,
+                      size_t n) {
+  const Fr *xv = frp(x);
+  const Fr *yv = frp(y);
+  Fr *ov = frp(out);
+  long xr = xlen ? ((xrot % (long)xlen) + (long)xlen) % (long)xlen : 0;
+  long yr = ylen ? ((yrot % (long)ylen) + (long)ylen) % (long)ylen : 0;
+#pragma omp parallel for schedule(static)
+  for (size_t i = 0; i < n; i++) {
+    size_t ix = xlen == 1 ? 0 : (i + (size_t)xr) % xlen;
+    size_t iy = ylen == 1 ? 0 : (i + (size_t)yr) % ylen;
+    switch (op) {
+      case 0: fr_add(ov[i], xv[ix], yv[iy]); break;
+      case 1: fr_sub(ov[i], xv[ix], yv[iy]); break;
+      default: fr_mont_mul(ov[i], xv[ix], yv[iy]); break;
+    }
+  }
+}
+
+// out[i] = -x[i]
+void h2a_fr_vec_neg(const u64 *x, u64 *out, size_t n) {
+  Fr zero;
+  memset(zero.v, 0, 32);
+#pragma omp parallel for schedule(static)
+  for (size_t i = 0; i < n; i++) fr_sub(frp(out)[i], zero, frp(x)[i]);
+}
+
+// in-place a[i] *= c
+void h2a_fr_vec_scale(u64 *a, size_t n, const u64 *c4) {
+  Fr c = *frp(c4);
+#pragma omp parallel for schedule(static)
+  for (size_t i = 0; i < n; i++) fr_mont_mul(frp(a)[i], frp(a)[i], c);
+}
+
+// in-place a[i] *= g^i  (coset scaling); g in Montgomery form
+void h2a_fr_scale_pows(u64 *a, size_t n, const u64 *g4) {
+  Fr g = *frp(g4);
+  Fr p;
+  memcpy(p.v, FR_R1, 32);
+  for (size_t i = 0; i < n; i++) {
+    fr_mont_mul(frp(a)[i], frp(a)[i], p);
+    fr_mont_mul(p, p, g);
+  }
+}
+
+// in-place radix-2 NTT of size n = 2^k over Montgomery-form values.
+// omega4: the size-n root of unity, PLAIN form (converted internally).
+// Inverse transforms pass omega^{-1}; the caller applies the 1/n scale
+// with h2a_fr_vec_scale.
+void h2a_fr_ntt(u64 *data, uint32_t k, const u64 *omega4) {
+  size_t n = (size_t)1 << k;
+  Fr *a = frp(data);
+  // bit-reverse permute
+  for (size_t i = 1, j = 0; i < n; i++) {
+    size_t bit = n >> 1;
+    for (; j & bit; bit >>= 1) j ^= bit;
+    j |= bit;
+    if (i < j) {
+      Fr t = a[i];
+      a[i] = a[j];
+      a[j] = t;
+    }
+  }
+  // twiddle table: pows[t] = omega^t (Montgomery), t < n/2
+  Fr om, r2;
+  memcpy(r2.v, FR_R2, 32);
+  fr_mont_mul(om, *frp(omega4), r2);
+  std::vector<Fr> pows(n / 2);
+  memcpy(pows[0].v, FR_R1, 32);
+  for (size_t t = 1; t < n / 2; t++) fr_mont_mul(pows[t], pows[t - 1], om);
+
+  for (uint32_t s = 0; s < k; s++) {
+    size_t half = (size_t)1 << s;
+    uint32_t twshift = k - 1 - s;
+#pragma omp parallel for schedule(static)
+    for (size_t idx = 0; idx < n / 2; idx++) {
+      size_t blk = idx >> s;
+      size_t t = idx & (half - 1);
+      size_t i0 = (blk << (s + 1)) + t;
+      size_t i1 = i0 + half;
+      Fr hi;
+      fr_mont_mul(hi, a[i1], pows[t << twshift]);
+      Fr lo = a[i0];
+      fr_add(a[i0], lo, hi);
+      fr_sub(a[i1], lo, hi);
+    }
+  }
+}
+
+// in-place batch inversion (Montgomery form); zeros map to zero.
+void h2a_fr_batch_inv(u64 *data, size_t n) {
+  Fr *a = frp(data);
+  std::vector<Fr> prefix(n);
+  Fr run;
+  memcpy(run.v, FR_R1, 32);
+  for (size_t i = 0; i < n; i++) {
+    if (!fr_is_zero(a[i])) fr_mont_mul(run, run, a[i]);
+    prefix[i] = run;
+  }
+  Fr inv_run;
+  fr_inv(inv_run, run);
+  for (size_t i = n; i-- > 0;) {
+    if (fr_is_zero(a[i])) continue;
+    Fr ai = a[i];
+    if (i == 0) {
+      a[i] = inv_run;
+    } else {
+      fr_mont_mul(a[i], inv_run, prefix[i - 1]);
+    }
+    fr_mont_mul(inv_run, inv_run, ai);
+  }
+}
+
+// grand product: z[0] = init; z[j+1] = z[j] * num[j] / den[j], j < m.
+// z has m+1 entries.  Montgomery form; dens batch-inverted.
+void h2a_fr_grand_product(const u64 *num, const u64 *den, const u64 *init4,
+                          u64 *z_out, size_t m) {
+  std::vector<Fr> dinv(m);
+  memcpy(dinv.data(), den, m * 32);
+  h2a_fr_batch_inv((u64 *)dinv.data(), m);
+  Fr *z = frp(z_out);
+  z[0] = *frp(init4);
+  for (size_t j = 0; j < m; j++) {
+    Fr t;
+    fr_mont_mul(t, z[j], frp(num)[j]);
+    fr_mont_mul(z[j + 1], t, dinv[j]);
+  }
+}
+
+// Horner evaluation: out = sum coeffs[i] * x^i (ascending coeffs, mont)
+void h2a_fr_horner(const u64 *coeffs, size_t n, const u64 *x4, u64 *out4) {
+  Fr acc;
+  memset(acc.v, 0, 32);
+  const Fr *c = frp(coeffs);
+  Fr x = *frp(x4);
+  for (size_t i = n; i-- > 0;) {
+    Fr t;
+    fr_mont_mul(t, acc, x);
+    fr_add(acc, t, c[i]);
+  }
+  *frp(out4) = acc;
+}
+
+// synthetic division: q(X) = (f(X) - f(z)) / (X - z); q has n-1 coeffs.
+void h2a_fr_divide_linear(const u64 *coeffs, size_t n, const u64 *z4,
+                          u64 *q_out) {
+  const Fr *c = frp(coeffs);
+  Fr *q = frp(q_out);
+  Fr z = *frp(z4);
+  Fr acc;
+  memset(acc.v, 0, 32);
+  for (size_t i = n; i-- > 1;) {
+    Fr t;
+    fr_mont_mul(t, acc, z);
+    fr_add(acc, t, c[i]);
+    q[i - 1] = acc;
+  }
+}
+
+// in-place fold: acc[i] = acc[i] * v + x[i]  (the multiopen v-fold)
+void h2a_fr_fold(u64 *acc, const u64 *x, const u64 *v4, size_t n) {
+  Fr v = *frp(v4);
+#pragma omp parallel for schedule(static)
+  for (size_t i = 0; i < n; i++) {
+    Fr t;
+    fr_mont_mul(t, frp(acc)[i], v);
+    fr_add(frp(acc)[i], t, frp(x)[i]);
   }
 }
 }
