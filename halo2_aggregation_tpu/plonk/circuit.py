@@ -432,6 +432,56 @@ class Assignment:
         return TableAssignment(self)
 
     # -- permutation assembly ----------------------------------------------
+    def build_permutation_arrays(self):
+        """Sparse equivalent of build_permutation for large circuits: the
+        union-find runs only over cells touched by copy constraints (the
+        dense version allocates num_cols * n parents — prohibitive at
+        k=23).  Returns (cp, rp) int arrays of shape (num_cols, n) with
+        sigma[ci][row] = (cp[ci, row], rp[ci, row]); identity elsewhere.
+        Produces exactly the same mapping as build_permutation (cycle
+        members are walked in ascending cell order in both)."""
+        import numpy as np
+
+        cols = self.cs.permutation_columns
+        col_pos = {c: i for i, c in enumerate(cols)}
+        n = self.n
+        parent = {}
+
+        def find(x):
+            path = []
+            while parent.get(x, x) != x:
+                path.append(x)
+                x = parent[x]
+            for p in path:
+                parent[p] = x
+            return x
+
+        touched = set()
+        for c1, r1, c2, r2 in self.copies:
+            a = col_pos[c1] * n + r1
+            b = col_pos[c2] * n + r2
+            touched.add(a)
+            touched.add(b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+
+        groups = {}
+        for cell in sorted(touched):
+            groups.setdefault(find(cell), []).append(cell)
+        cp = np.tile(
+            np.arange(len(cols), dtype=np.int32)[:, None], (1, n)
+        )
+        rp = np.tile(np.arange(n, dtype=np.int64)[None, :], (len(cols), 1))
+        for members in groups.values():
+            if len(members) < 2:
+                continue
+            for i, cell in enumerate(members):
+                nxt = members[(i + 1) % len(members)]
+                cp[cell // n, cell % n] = nxt // n
+                rp[cell // n, cell % n] = nxt % n
+        return cp, rp
+
     def build_permutation(self) -> List[List[Tuple[int, int]]]:
         """Union copy constraints into cycles; return sigma as, for each
         permutation column, a list mapping row -> (col_position, row) of the

@@ -59,13 +59,13 @@ def col_to_ints(plain: np.ndarray) -> list:
 
 def to_mont(plain: np.ndarray) -> np.ndarray:
     out = np.ascontiguousarray(plain, dtype=np.uint64).copy()
-    native._LIB.h2a_fr_to_mont(native._p(out), out.shape[0])
+    native._lib().h2a_fr_to_mont(native._p(out), out.shape[0])
     return out
 
 
 def from_mont(mont: np.ndarray) -> np.ndarray:
     out = np.ascontiguousarray(mont, dtype=np.uint64).copy()
-    native._LIB.h2a_fr_from_mont(native._p(out), out.shape[0])
+    native._lib().h2a_fr_from_mont(native._p(out), out.shape[0])
     return out
 
 

@@ -109,3 +109,40 @@ def keygen(params: Params, cs: ConstraintSystem, assignment: Assignment):
     vk = VerifyingKey(k, cs, fixed_comms, sigma_comms)
     pk = ProvingKey(vk, [list(c) for c in assignment.fixed], sig_cols, mapping)
     return vk, pk
+
+
+def keygen_native(params: Params, cs: ConstraintSystem, assignment: Assignment):
+    """Scaled keygen over the C++ engine: sparse union-find permutation
+    assembly + vectorized sigma columns + native MSM commitments.  Produces
+    the same (vk, pk) as keygen (tests pin equality); pk columns are
+    (n, 4) uint64 arrays, which create_proof_native consumes directly."""
+    import numpy as np
+
+    from ..utils import native
+    from . import engine
+
+    if not engine.available():
+        return keygen(params, cs, assignment)
+    k = params.k
+    n = 1 << k
+    assert assignment.n == params.n
+    fixed_plain = [engine.col_from_ints(col) for col in assignment.fixed]
+    fixed_comms = [params.commit_lagrange(c) for c in fixed_plain]
+
+    cp, rp = assignment.build_permutation_arrays()
+    omega_pows_m = engine.pow_series(engine.mont_scalar(fr_omega(k)), n)
+    deltas = [1]
+    for _ in range(len(cs.permutation_columns) - 1):
+        deltas.append(deltas[-1] * FR_DELTA % R)
+    deltas_m = np.vstack([engine.mont_scalar(d) for d in deltas])
+    sig_cols = []
+    for ci in range(len(cs.permutation_columns)):
+        col_m = native.fr_vec_binop(
+            2, np.ascontiguousarray(deltas_m[cp[ci]]), 0,
+            np.ascontiguousarray(omega_pows_m[rp[ci]]), 0, n,
+        )
+        sig_cols.append(engine.from_mont(col_m))
+    sigma_comms = [params.commit_lagrange(c) for c in sig_cols]
+    vk = VerifyingKey(k, cs, fixed_comms, sigma_comms)
+    pk = ProvingKey(vk, fixed_plain, sig_cols, None)
+    return vk, pk

@@ -179,19 +179,40 @@ def setup(k: int, seed: int = 0xE5BC0654) -> Params:
     tau = int.from_bytes(rng.bytes(40), "little") % R
     n = 1 << k
     omega = fr_omega(k)
-    # L_i(tau) = omega^i (tau^n - 1) / (n (tau - omega^i))
-    tn1 = (pow(tau, n, R) - 1) % R
-    scalars = []
-    wi = 1
-    for _ in range(n):
-        denom = (tau - wi) % R
-        scalars.append(wi * tn1 % R * pow(denom * n, -1, R) % R)
-        wi = wi * omega % R
     g = oc.g1_generator()
-    g_lagrange = _batch_g1_mul(g, scalars)
     g2 = oc.g2_generator()
     s_g2 = oc.g2_mul(g2, tau)
-    params = Params.from_points(k, g_lagrange, g2, s_g2)
+
+    from ..utils import native
+
+    if k >= 14 and native.available():
+        # scaled path: L_i(tau) via native batch inversion, points via the
+        # windowed fixed-base kernel — numpy end to end (minutes at k=23)
+        from . import engine
+
+        tn1_over_n = (pow(tau, n, R) - 1) * pow(n, -1, R) % R
+        wi_m = engine.pow_series(engine.mont_scalar(omega), n)
+        denom_m = native.fr_vec_binop(
+            0, engine.mont_scalar(tau), 0, native.fr_vec_neg(wi_m), 0, n
+        )
+        native.fr_batch_inv_inplace(denom_m)
+        s_m = native.fr_vec_binop(2, wi_m, 0, denom_m, 0, n)
+        native.fr_vec_scale_inplace(s_m, engine.mont_scalar(tn1_over_n).reshape(-1))
+        scalars_u64 = engine.from_mont(s_m)
+        base = ints_to_u64([g[0], g[1]]).reshape(-1)
+        aff, inf = native.g1_batch_mul_win(base, scalars_u64)
+        params = Params(k, aff, inf, g2, s_g2)
+    else:
+        # L_i(tau) = omega^i (tau^n - 1) / (n (tau - omega^i))
+        tn1 = (pow(tau, n, R) - 1) % R
+        scalars = []
+        wi = 1
+        for _ in range(n):
+            denom = (tau - wi) % R
+            scalars.append(wi * tn1 % R * pow(denom * n, -1, R) % R)
+            wi = wi * omega % R
+        g_lagrange = _batch_g1_mul(g, scalars)
+        params = Params.from_points(k, g_lagrange, g2, s_g2)
     params.save(cache)
     return params
 

@@ -1,0 +1,488 @@
+"""create_proof_native — the scaled PLONK/KZG prover over the C++ engine.
+
+Byte-for-byte the same proofs as plonk/prover.py (same transcript schedule,
+same rng draw order — tests/test_prover_native.py pins equality), but every
+polynomial operation runs on (n, 4) uint64 Montgomery columns through
+native/h2a_native.cpp: NTTs, grand products with batch-inverted
+denominators, per-coset quotient evaluation, Horner evals, and synthetic
+division.  This is what makes the reference's outer circuit size (k=23,
+`/root/reference/examples/simple-example.rs:663`) provable — the pure-int
+prover is the readable spec, this is the runtime.
+
+Memory strategy for k=23 (ROADMAP item 4): the quotient is evaluated
+coset-by-coset — the extended domain of size 2^(k+2) is the union of 4
+cosets of the size-2^k domain, and a rotation by `rot` in the extended
+domain is a rotation by `rot` *within* each coset, so no 2^25-sized leaf
+ever materializes (only the final h evals, 1 column).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..fields import FR_DELTA, FR_GENERATOR, R, fr_omega
+from ..utils import native
+from ..utils.transcript import Blake2bWrite
+from ..utils.u64 import ints_to_u64
+from .circuit import Any, Assignment
+from .engine import (
+    NativeDomain,
+    NativeVecOps,
+    col_from_ints,
+    col_to_ints,
+    eval_at,
+    from_mont,
+    mont_scalar,
+    pow_series,
+    roll,
+    scalar_to_int,
+    to_mont,
+)
+from .keygen import ProvingKey
+from .kzg import Params
+from .protocol import (
+    LookupEvals,
+    PermutationSetEvals,
+    fold_y,
+    gate_expressions,
+    lookup_expressions,
+    permutation_expressions,
+    query_schedule,
+    rotation_sets,
+    compress_expressions,
+)
+from .prover import _permute_lookup, _rand_fr
+
+
+def _as_plain_u64(col) -> np.ndarray:
+    """Accept int lists (classic ProvingKey) or (n,4) u64 arrays."""
+    if isinstance(col, np.ndarray):
+        return np.ascontiguousarray(col, dtype=np.uint64)
+    return col_from_ints(col)
+
+
+def create_proof_native(
+    params: Params,
+    pk: ProvingKey,
+    assignment: Assignment,
+    instances,
+    seed: int = 42,
+    progress=None,
+) -> bytes:
+    if not native.available():
+        raise RuntimeError("native engine unavailable; use prover.create_proof")
+    log = progress or (lambda *_: None)
+    cs = pk.vk.cs
+    k = pk.vk.k
+    n = 1 << k
+    omega = pk.vk.omega
+    bf = cs.blinding_factors()
+    usable = n - bf - 1
+    degree = cs.degree()
+    chunk_len = degree - 2
+    rng = np.random.default_rng(seed)
+    t = Blake2bWrite()
+    ops = NativeVecOps()
+    dom = NativeDomain(k)
+    one_m = mont_scalar(1)
+
+    def commit(plain_col: np.ndarray):
+        return params.commit_lagrange(plain_col)
+
+    # --- 0. vk hash + instance commitments (verifier.rs:339-363) -----------
+    t.common_scalar(pk.vk.hash_scalar())
+    inst_plain = []
+    for ci in range(cs.num_instance_columns):
+        vals = [int(v) % R for v in instances[ci]]
+        col = col_from_ints(vals)
+        if col.shape[0] < n:
+            col = np.vstack([col, np.zeros((n - col.shape[0], 4), np.uint64)])
+        inst_plain.append(col)
+    inst_comms = [commit(c) for c in inst_plain]
+    for c in inst_comms:
+        t.common_point(c)
+
+    # --- 1. advice commitments (verifier.rs:365-376) ------------------------
+    # raw (pre-blind) advice is what lookup compression and the permutation
+    # grand products consume, matching prover.py's use of `assignment`
+    adv_raw_plain = []
+    advice_plain = []
+    for ci in range(cs.num_advice_columns):
+        raw = col_from_ints(
+            [0 if v is None else v for v in assignment.advice[ci]]
+        )
+        adv_raw_plain.append(raw)
+        col = raw.copy()
+        col[usable:] = ints_to_u64([_rand_fr(rng) for _ in range(n - usable)])
+        advice_plain.append(col)
+        t.write_point(commit(col))
+    log("advice committed")
+
+    theta = t.squeeze_challenge()
+    theta_m = mont_scalar(theta)
+
+    fixed_plain = [_as_plain_u64(c) for c in pk.fixed_columns]
+    sigma_plain = [_as_plain_u64(c) for c in pk.sigma_columns]
+
+    # raw mont leaves per query (Lagrange domain) for lookup compression
+    adv_raw_m = [to_mont(c) for c in adv_raw_plain]
+    fix_raw_m = [to_mont(c) for c in fixed_plain]
+    inst_raw_m = [to_mont(c) for c in inst_plain]
+    adv_leaf_m = [
+        roll(adv_raw_m[c.index], rot.value) for c, rot in cs.advice_queries
+    ]
+    fix_leaf_m = [
+        roll(fix_raw_m[c.index], rot.value) for c, rot in cs.fixed_queries
+    ]
+    inst_leaf_m = [
+        roll(inst_raw_m[c.index], rot.value) for c, rot in cs.instance_queries
+    ]
+
+    # --- 2. lookups: permuted commitments (verifier.rs:380-387) -------------
+    lookups = []
+    for arg in cs.lookups:
+        a_comp_m = compress_expressions(
+            ops, arg.input_expressions, theta_m, adv_leaf_m, fix_leaf_m, inst_leaf_m
+        )
+        s_comp_m = compress_expressions(
+            ops, arg.table_expressions, theta_m, adv_leaf_m, fix_leaf_m, inst_leaf_m
+        )
+        a_ints = col_to_ints(from_mont(a_comp_m))
+        s_ints = col_to_ints(from_mont(s_comp_m))
+        ap, sp = _permute_lookup(a_ints, s_ints, usable)
+        a_prime = ap + [_rand_fr(rng) for _ in range(n - usable)]
+        s_prime = sp + [_rand_fr(rng) for _ in range(n - usable)]
+        ap_plain = col_from_ints(a_prime)
+        sp_plain = col_from_ints(s_prime)
+        lookups.append(
+            {
+                "a_comp_m": a_comp_m,
+                "s_comp_m": s_comp_m,
+                "a_prime_plain": ap_plain,
+                "s_prime_plain": sp_plain,
+            }
+        )
+        t.write_point(commit(ap_plain))
+        t.write_point(commit(sp_plain))
+    log("lookups permuted")
+
+    beta = t.squeeze_challenge()
+    gamma = t.squeeze_challenge()
+    beta_m = mont_scalar(beta)
+    gamma_m = mont_scalar(gamma)
+
+    # column-value mont arrays (raw advice; fixed; instance) for products
+    def column_m(col):
+        if col.kind == Any.ADVICE:
+            return adv_raw_m[col.index]
+        if col.kind == Any.FIXED:
+            return fix_raw_m[col.index]
+        return inst_raw_m[col.index]
+
+    # --- 3. permutation grand products (verifier.rs:401-409) ----------------
+    perm_cols = cs.permutation_columns
+    num_chunks = (len(perm_cols) + chunk_len - 1) // chunk_len
+    deltas = [1]
+    for _ in range(len(perm_cols) - 1):
+        deltas.append(deltas[-1] * FR_DELTA % R)
+    omega_pows_m = pow_series(mont_scalar(omega), n)
+    perm_z_plain = []
+    prev_end = 1
+    for ci in range(num_chunks):
+        cols = perm_cols[ci * chunk_len : (ci + 1) * chunk_len]
+        sigs = sigma_plain[ci * chunk_len : (ci + 1) * chunk_len]
+        num_m = None
+        den_m = None
+        for t_i, col in enumerate(cols):
+            v_m = column_m(col)
+            kglob = ci * chunk_len + t_i
+            bd = mont_scalar(beta * deltas[kglob] % R)
+            term_n = ops.add(ops.add(ops.mul(omega_pows_m, bd), v_m), gamma_m)
+            sig_m = to_mont(sigs[t_i])
+            term_d = ops.add(ops.add(ops.mul(sig_m, beta_m), v_m), gamma_m)
+            num_m = term_n if num_m is None else ops.mul(num_m, term_n)
+            den_m = term_d if den_m is None else ops.mul(den_m, term_d)
+        z_m = native.fr_grand_product(
+            num_m[:usable], den_m[:usable], mont_scalar(prev_end).reshape(-1)
+        )
+        prev_end = scalar_to_int(z_m[usable : usable + 1])
+        zcol = from_mont(z_m)  # rows 0..usable
+        blinds = ints_to_u64(
+            [_rand_fr(rng) for _ in range(n - usable - 1)]
+        ) if n - usable - 1 else np.zeros((0, 4), np.uint64)
+        zcol = np.vstack([zcol, blinds])
+        perm_z_plain.append(zcol)
+        t.write_point(commit(zcol))
+    log("permutation products")
+
+    # --- 4. lookup grand products (verifier.rs:411-417) ---------------------
+    for lk in lookups:
+        num_m = ops.mul(
+            ops.add(lk["a_comp_m"], beta_m), ops.add(lk["s_comp_m"], gamma_m)
+        )
+        ap_m = to_mont(lk["a_prime_plain"])
+        sp_m = to_mont(lk["s_prime_plain"])
+        den_m = ops.mul(ops.add(ap_m, beta_m), ops.add(sp_m, gamma_m))
+        z_m = native.fr_grand_product(
+            num_m[:usable], den_m[:usable], one_m.reshape(-1)
+        )
+        zcol = from_mont(z_m)
+        blinds = ints_to_u64(
+            [_rand_fr(rng) for _ in range(n - usable - 1)]
+        ) if n - usable - 1 else np.zeros((0, 4), np.uint64)
+        zcol = np.vstack([zcol, blinds])
+        lk["z_plain"] = zcol
+        t.write_point(commit(zcol))
+    log("lookup products")
+
+    # --- 5. vanishing random poly (verifier.rs:419-421) ---------------------
+    r_plain = ints_to_u64([_rand_fr(rng) for _ in range(n)])
+    t.write_point(commit(r_plain))
+
+    y = t.squeeze_challenge()
+    y_m = mont_scalar(y)
+
+    # --- 6. quotient h(X), per-coset (verifier.rs:427-434 reads pieces) -----
+    shift_bits = max(1, (degree - 2).bit_length())
+    ext_k = k + shift_bits
+    ext_n = 1 << ext_k
+    step = ext_n // n
+    g = FR_GENERATOR
+    omega_ext = fr_omega(ext_k)
+
+    def coeffs_of(plain_col) -> np.ndarray:
+        return dom.intt(to_mont(plain_col))
+
+    adv_coeffs = [coeffs_of(c) for c in advice_plain]
+    fix_coeffs = [coeffs_of(c) for c in fixed_plain]
+    inst_coeffs = [coeffs_of(c) for c in inst_plain]
+    sig_coeffs = [coeffs_of(c) for c in sigma_plain]
+    permz_coeffs = [coeffs_of(c) for c in perm_z_plain]
+    lookup_coeffs = [
+        {
+            "a_prime": coeffs_of(lk["a_prime_plain"]),
+            "s_prime": coeffs_of(lk["s_prime_plain"]),
+            "z": coeffs_of(lk["z_plain"]),
+        }
+        for lk in lookups
+    ]
+    r_coeffs = coeffs_of(r_plain)
+
+    def one_hot(rows):
+        col = np.zeros((n, 4), np.uint64)
+        col[list(rows), 0] = 1
+        return coeffs_of(col)
+
+    l0_coeffs = one_hot([0])
+    llast_coeffs = one_hot([usable])
+    lblind_coeffs = one_hot(range(usable + 1, n))
+    log("coefficient transforms")
+
+    h_ext_m = np.empty((ext_n, 4), np.uint64)
+    for cj in range(step):
+        shift = g * pow(omega_ext, cj, R) % R
+
+        def ext(coeffs_m):
+            return dom.coset_evals(coeffs_m, shift)
+
+        _cache = {}
+
+        def ext_cached(key, coeffs_m):
+            if key not in _cache:
+                _cache[key] = ext(coeffs_m)
+            return _cache[key]
+
+        adv_leaf = [
+            roll(ext_cached(("a", c.index), adv_coeffs[c.index]), rot.value)
+            for c, rot in cs.advice_queries
+        ]
+        fix_leaf = [
+            roll(ext_cached(("f", c.index), fix_coeffs[c.index]), rot.value)
+            for c, rot in cs.fixed_queries
+        ]
+        inst_leaf = [
+            roll(ext_cached(("i", c.index), inst_coeffs[c.index]), rot.value)
+            for c, rot in cs.instance_queries
+        ]
+        sigma_leaf = [ext(c) for c in sig_coeffs]
+        l0_e = ext(l0_coeffs)
+        llast_e = ext(llast_coeffs)
+        lblind_e = ext(lblind_coeffs)
+        coset_x = pow_series(mont_scalar(omega), n, mont_scalar(shift))
+
+        exprs = gate_expressions(ops, cs, adv_leaf, fix_leaf, inst_leaf)
+        perm_sets = []
+        for ci in range(num_chunks):
+            ze = ext(permz_coeffs[ci])
+            perm_sets.append(
+                PermutationSetEvals(
+                    z=ze,
+                    z_next=roll(ze, 1),
+                    z_last=roll(ze, -(bf + 1)) if ci < num_chunks - 1 else None,
+                )
+            )
+        exprs += permutation_expressions(
+            ops, cs, perm_sets, sigma_leaf, adv_leaf, fix_leaf, inst_leaf,
+            l0_e, llast_e, lblind_e, beta_m, gamma_m, coset_x, chunk_len,
+        )
+        for li, arg in enumerate(cs.lookups):
+            ze = ext(lookup_coeffs[li]["z"])
+            ae = ext(lookup_coeffs[li]["a_prime"])
+            se = ext(lookup_coeffs[li]["s_prime"])
+            ev = LookupEvals(
+                z=ze, z_next=roll(ze, 1), a_prime=ae,
+                a_prime_prev=roll(ae, -1), s_prime=se,
+            )
+            exprs += lookup_expressions(
+                ops, ev, arg, l0_e, llast_e, lblind_e,
+                theta_m, beta_m, gamma_m, adv_leaf, fix_leaf, inst_leaf,
+            )
+        num = fold_y(ops, exprs, y_m)
+        vinv = pow((pow(shift, n, R) - 1) % R, -1, R)
+        native.fr_vec_scale_inplace(num, mont_scalar(vinv).reshape(-1))
+        h_ext_m[cj::step] = num
+        log(f"quotient coset {cj + 1}/{step}")
+
+    ext_dom = NativeDomain(ext_k)
+    h_coeffs_m = ext_dom.intt(h_ext_m)
+    native.fr_scale_pows_inplace(
+        h_coeffs_m, mont_scalar(pow(g, -1, R)).reshape(-1)
+    )
+    qpd = cs.quotient_poly_degree()
+    if h_coeffs_m.shape[0] < qpd * n:
+        h_coeffs_m = np.vstack(
+            [h_coeffs_m, np.zeros((qpd * n - h_coeffs_m.shape[0], 4), np.uint64)]
+        )
+    h_pieces_m = [h_coeffs_m[i * n : (i + 1) * n] for i in range(qpd)]
+    for piece in h_pieces_m:
+        t.write_point(commit(from_mont(dom.ntt(piece))))
+    log("quotient committed")
+
+    x = t.squeeze_challenge()
+
+    # --- 7. evaluations (verifier.rs:438-510) --------------------------------
+    omega_inv = pow(omega, -1, R)
+
+    def at_rot(coeffs_m, rot):
+        if rot >= 0:
+            pt = x * pow(omega, rot, R) % R
+        else:
+            pt = x * pow(omega_inv, -rot, R) % R
+        return eval_at(coeffs_m, pt)
+
+    inst_evals = [
+        at_rot(inst_coeffs[c.index], rot.value)
+        for c, rot in cs.instance_queries
+    ]
+    for e in inst_evals:
+        t.write_scalar(e)
+    adv_evals = [
+        at_rot(adv_coeffs[c.index], rot.value) for c, rot in cs.advice_queries
+    ]
+    for e in adv_evals:
+        t.write_scalar(e)
+    fix_evals = [
+        at_rot(fix_coeffs[c.index], rot.value) for c, rot in cs.fixed_queries
+    ]
+    for e in fix_evals:
+        t.write_scalar(e)
+    r_eval = at_rot(r_coeffs, 0)
+    t.write_scalar(r_eval)
+    sigma_evals = [at_rot(c, 0) for c in sig_coeffs]
+    for e in sigma_evals:
+        t.write_scalar(e)
+    perm_ev = []
+    for ci in range(num_chunks):
+        z_x = at_rot(permz_coeffs[ci], 0)
+        z_nx = at_rot(permz_coeffs[ci], 1)
+        t.write_scalar(z_x)
+        t.write_scalar(z_nx)
+        z_last = None
+        if ci < num_chunks - 1:
+            z_last = at_rot(permz_coeffs[ci], -(bf + 1))
+            t.write_scalar(z_last)
+        perm_ev.append((z_x, z_nx, z_last))
+    lookup_ev = []
+    for li in range(len(cs.lookups)):
+        lc = lookup_coeffs[li]
+        vals = (
+            at_rot(lc["z"], 0),
+            at_rot(lc["z"], 1),
+            at_rot(lc["a_prime"], 0),
+            at_rot(lc["a_prime"], -1),
+            at_rot(lc["s_prime"], 0),
+        )
+        for vv in vals:
+            t.write_scalar(vv)
+        lookup_ev.append(vals)
+    log("evaluations")
+
+    v = t.squeeze_challenge()
+    u = t.squeeze_challenge()
+    v_m = mont_scalar(v)
+
+    # --- 8. multiopen witnesses (multiopen.rs:271-509 verifies these) -------
+    xn = pow(x, n, R)
+    h_folded_m = h_pieces_m[-1].copy()
+    for piece in reversed(h_pieces_m[:-1]):
+        native.fr_fold_inplace(h_folded_m, piece, mont_scalar(xn).reshape(-1))
+    h_eval = eval_at(h_folded_m, x)
+
+    sched = query_schedule(cs, num_chunks, len(cs.lookups))
+    polys = {}
+    for q in sched:
+        if q.kind == "instance":
+            col, rot = cs.instance_queries[q.index]
+            polys[q] = (inst_coeffs[col.index], inst_evals[q.index])
+        elif q.kind == "advice":
+            col, rot = cs.advice_queries[q.index]
+            polys[q] = (adv_coeffs[col.index], adv_evals[q.index])
+        elif q.kind == "fixed":
+            col, rot = cs.fixed_queries[q.index]
+            polys[q] = (fix_coeffs[col.index], fix_evals[q.index])
+        elif q.kind == "perm_z":
+            polys[q] = (
+                permz_coeffs[q.index],
+                perm_ev[q.index][0] if q.rotation == 0 else perm_ev[q.index][1],
+            )
+        elif q.kind == "perm_z_last":
+            polys[q] = (permz_coeffs[q.index], perm_ev[q.index][2])
+        elif q.kind == "lookup_z":
+            polys[q] = (
+                lookup_coeffs[q.index]["z"],
+                lookup_ev[q.index][0] if q.rotation == 0 else lookup_ev[q.index][1],
+            )
+        elif q.kind == "lookup_a":
+            polys[q] = (
+                lookup_coeffs[q.index]["a_prime"],
+                lookup_ev[q.index][2] if q.rotation == 0 else lookup_ev[q.index][3],
+            )
+        elif q.kind == "lookup_s":
+            polys[q] = (lookup_coeffs[q.index]["s_prime"], lookup_ev[q.index][4])
+        elif q.kind == "sigma":
+            polys[q] = (sig_coeffs[q.index], sigma_evals[q.index])
+        elif q.kind == "vanishing_h":
+            polys[q] = (h_folded_m, h_eval)
+        elif q.kind == "vanishing_r":
+            polys[q] = (r_coeffs, r_eval)
+        else:
+            raise KeyError(q.kind)
+
+    for rot, qs in rotation_sets(sched):
+        if rot >= 0:
+            z_pt = x * pow(omega, rot, R) % R
+        else:
+            z_pt = x * pow(omega_inv, -rot, R) % R
+        fc = polys[qs[0]][0].copy()
+        fe = polys[qs[0]][1]
+        for q in qs[1:]:
+            c, e = polys[q]
+            native.fr_fold_inplace(fc, c, v_m.reshape(-1))
+            fe = (fe * v + e) % R
+        # numer = fc with constant term shifted by -fe; divide_linear never
+        # reads coeff 0, so pass fc directly (same quotient)
+        q_coeffs = native.fr_divide_linear(fc, mont_scalar(z_pt).reshape(-1))
+        t.write_point(commit(from_mont(dom.ntt(q_coeffs))))
+    log("multiopen witnesses")
+
+    return t.finalize()

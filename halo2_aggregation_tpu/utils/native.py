@@ -93,6 +93,13 @@ def available() -> bool:
     return _load() is not None
 
 
+def _lib():
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    return lib
+
+
 def _to_u64_limbs(x: int, n=4) -> list:
     return [(x >> (64 * i)) & 0xFFFFFFFFFFFFFFFF for i in range(n)]
 
@@ -197,13 +204,13 @@ def _cc(a):
 
 def fr_to_mont(a: np.ndarray) -> np.ndarray:
     a = _cc(a).copy() if not a.flags.writeable else _cc(a)
-    _LIB.h2a_fr_to_mont(_p(a), a.shape[0])
+    _lib().h2a_fr_to_mont(_p(a), a.shape[0])
     return a
 
 
 def fr_from_mont(a: np.ndarray) -> np.ndarray:
     a = _cc(a)
-    _LIB.h2a_fr_from_mont(_p(a), a.shape[0])
+    _lib().h2a_fr_from_mont(_p(a), a.shape[0])
     return a
 
 
@@ -212,7 +219,7 @@ def fr_vec_binop(op: int, x, xrot: int, y, yrot: int, n: int) -> np.ndarray:
     x = _cc(x)
     y = _cc(y)
     out = np.empty((n, 4), dtype=np.uint64)
-    _LIB.h2a_fr_vec_binop(
+    _lib().h2a_fr_vec_binop(
         op, _p(x), x.shape[0], xrot, _p(y), y.shape[0], yrot, _p(out), n
     )
     return out
@@ -221,25 +228,25 @@ def fr_vec_binop(op: int, x, xrot: int, y, yrot: int, n: int) -> np.ndarray:
 def fr_vec_neg(x) -> np.ndarray:
     x = _cc(x)
     out = np.empty_like(x)
-    _LIB.h2a_fr_vec_neg(_p(x), _p(out), x.shape[0])
+    _lib().h2a_fr_vec_neg(_p(x), _p(out), x.shape[0])
     return out
 
 
 def fr_vec_scale_inplace(a: np.ndarray, c_mont: np.ndarray):
-    _LIB.h2a_fr_vec_scale(_p(a), a.shape[0], _p(_cc(c_mont)))
+    _lib().h2a_fr_vec_scale(_p(a), a.shape[0], _p(_cc(c_mont)))
 
 
 def fr_scale_pows_inplace(a: np.ndarray, g_mont: np.ndarray):
-    _LIB.h2a_fr_scale_pows(_p(a), a.shape[0], _p(_cc(g_mont)))
+    _lib().h2a_fr_scale_pows(_p(a), a.shape[0], _p(_cc(g_mont)))
 
 
 def fr_ntt_inplace(a: np.ndarray, k: int, omega_plain: np.ndarray):
     """In-place radix-2 NTT of mont-form (2^k, 4); omega in PLAIN form."""
-    _LIB.h2a_fr_ntt(_p(a), k, _p(_cc(omega_plain)))
+    _lib().h2a_fr_ntt(_p(a), k, _p(_cc(omega_plain)))
 
 
 def fr_batch_inv_inplace(a: np.ndarray):
-    _LIB.h2a_fr_batch_inv(_p(a), a.shape[0])
+    _lib().h2a_fr_batch_inv(_p(a), a.shape[0])
 
 
 def fr_grand_product(num, den, init_mont) -> np.ndarray:
@@ -247,21 +254,21 @@ def fr_grand_product(num, den, init_mont) -> np.ndarray:
     den = _cc(den)
     m = num.shape[0]
     z = np.empty((m + 1, 4), dtype=np.uint64)
-    _LIB.h2a_fr_grand_product(_p(num), _p(den), _p(_cc(init_mont)), _p(z), m)
+    _lib().h2a_fr_grand_product(_p(num), _p(den), _p(_cc(init_mont)), _p(z), m)
     return z
 
 
 def fr_horner(coeffs, x_mont) -> np.ndarray:
     coeffs = _cc(coeffs)
     out = np.empty(4, dtype=np.uint64)
-    _LIB.h2a_fr_horner(_p(coeffs), coeffs.shape[0], _p(_cc(x_mont)), _p(out))
+    _lib().h2a_fr_horner(_p(coeffs), coeffs.shape[0], _p(_cc(x_mont)), _p(out))
     return out
 
 
 def fr_divide_linear(coeffs, z_mont) -> np.ndarray:
     coeffs = _cc(coeffs)
     q = np.empty((coeffs.shape[0] - 1, 4), dtype=np.uint64)
-    _LIB.h2a_fr_divide_linear(
+    _lib().h2a_fr_divide_linear(
         _p(coeffs), coeffs.shape[0], _p(_cc(z_mont)), _p(q)
     )
     return q
@@ -269,7 +276,7 @@ def fr_divide_linear(coeffs, z_mont) -> np.ndarray:
 
 def fr_fold_inplace(acc: np.ndarray, x, v_mont):
     """acc = acc * v + x, elementwise."""
-    _LIB.h2a_fr_fold(_p(acc), _p(_cc(x)), _p(_cc(v_mont)), acc.shape[0])
+    _lib().h2a_fr_fold(_p(acc), _p(_cc(x)), _p(_cc(v_mont)), acc.shape[0])
 
 
 def g1_normalize(jac_u64: np.ndarray):
@@ -278,7 +285,7 @@ def g1_normalize(jac_u64: np.ndarray):
     n = jac_u64.shape[0]
     aff = np.empty((n, 8), dtype=np.uint64)
     inf = np.empty(n, dtype=np.uint8)
-    _LIB.h2a_g1_normalize(_p(jac_u64), n, _p(aff), _p8(inf))
+    _lib().h2a_g1_normalize(_p(jac_u64), n, _p(aff), _p8(inf))
     return aff, inf
 
 
@@ -289,5 +296,5 @@ def g1_batch_mul_win(base_xy: np.ndarray, scalars_u64: np.ndarray):
     n = scalars_u64.shape[0]
     aff = np.empty((n, 8), dtype=np.uint64)
     inf = np.empty(n, dtype=np.uint8)
-    _LIB.h2a_g1_batch_mul_win(_p(base_xy), _p(scalars_u64), n, _p(aff), _p8(inf))
+    _lib().h2a_g1_batch_mul_win(_p(base_xy), _p(scalars_u64), n, _p(aff), _p8(inf))
     return aff, inf
