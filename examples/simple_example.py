@@ -5,11 +5,13 @@ Phase A: build + prove the inner circuit (k=9, constant=7, a=2, b=3);
 Phase B: construct the outer SingleProofCircuit with the proof transcript
 Phase C: MockProver-equivalent on the outer circuit (H2A_FULL_MOCK=1;
          witness-level quad equality is always checked)
-Phase D: outer keygen/prove lands with the device prover (round 2);
-         today the in-circuit statement is checked by Phase C and the
-         batch accumulator path (aggregate_quads) covers multi-proof.
+Phase D: the REAL outer proof (simple-example.rs:678-730): keygen, prove,
+         and verify the aggregation circuit through the scaled native
+         prover.  Gated by H2A_PHASE_D=1 (roughly an hour at the
+         reference's k=23 on a 2-core host; H2A_OUTER_K overrides k).
 
 Run: python examples/simple_example.py
+     H2A_PHASE_D=1 python examples/simple_example.py   # + the outer proof
 """
 
 import os
@@ -50,7 +52,7 @@ def main():
     inst_comm = params.commit_lagrange(pub)
 
     # --- Phase B: outer circuit (simple-example.rs:645-672) ----------------
-    outer_k = 23
+    outer_k = int(os.environ.get("H2A_OUTER_K", "23"))
     outer = ac.SingleProofCircuit(vk, proof)
     public_inputs = outer.public_inputs(inst_comm, efw)
     print(f"outer public inputs: {len(public_inputs)} scalars")
@@ -70,6 +72,38 @@ def main():
         failures = mock_verify_fast(cs_o, asg_o)
         assert failures == [], failures[:5]
         print(f"outer mock prover succeeded ({time.time()-t0:.1f}s)")
+
+    # --- Phase D: the real outer proof (simple-example.rs:678-730) ---------
+    if os.environ.get("H2A_PHASE_D", "0") == "1":
+        from halo2_aggregation_tpu.plonk.keygen import keygen_native
+        from halo2_aggregation_tpu.plonk.prover_native import (
+            create_proof_native,
+        )
+
+        t0 = time.time()
+        params_o = kzg.setup(outer_k)
+        print(f"outer SRS ready ({time.time()-t0:.0f}s)")
+        t0 = time.time()
+        cs_e2, _, asg_e2, _, _ = ac.build(outer.without_witnesses(), outer_k)
+        vk_o, pk_o = keygen_native(params_o, cs_e2, asg_e2)
+        del asg_e2
+        print(f"outer keygen done ({time.time()-t0:.0f}s)")
+        t0 = time.time()
+
+        def prog(msg):
+            print(f"  [prove {time.time()-t0:7.0f}s] {msg}", flush=True)
+
+        outer_proof = create_proof_native(
+            params_o, pk_o, asg_o, [public_inputs], seed=1, progress=prog
+        )
+        print(
+            f"outer proof size is {len(outer_proof)} bytes "
+            f"({time.time()-t0:.0f}s)"
+        )
+        t0 = time.time()
+        ok_o, efw_o = verify_proof(params_o, vk_o, [public_inputs], outer_proof)
+        assert ok_o, "outer aggregation proof rejected"
+        print(f"aggregation proof valid! ({time.time()-t0:.0f}s)")
 
     print("done.")
 
