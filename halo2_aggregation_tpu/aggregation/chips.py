@@ -147,8 +147,12 @@ class VerifierChip:
         limbs copied against the instance column."""
         cells = []
         for i in range(8):
+            # Keygen-shape synthesis (transcript=None) has no instance
+            # values: witness the limbs as unknown, exactly like halo2's
+            # Value::unknown(); the copy constraint below is positional and
+            # needs no value either way (verifier.rs:200-225).
             v = None
-            if self.transcript is not None or True:
+            if self.transcript is not None:
                 vals = ctx.assignment.instance[instance_col.index]
                 v = vals[instance_row + i]
             av = self.mg.assign_value(ctx, v)

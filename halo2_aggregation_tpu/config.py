@@ -1,0 +1,78 @@
+"""Framework configuration: one dataclass, no magic numbers.
+
+Every knob that bench.py / examples / __graft_entry__.py / tests thread
+through the stack lives here (SURVEY.md §5 "config/flag system").  Env
+vars override defaults so the driver and CI can steer runs without code
+changes; `H2AConfig.from_env()` is the single parsing point.
+
+Reference analog: the constants scattered through
+`/root/reference/examples/simple-example.rs` (k=9 inner :560, k=23 outer
+:654, 68-bit limbs :27-35) — here they are explicit and overridable.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+
+def _env_int(name: str, default: int) -> int:
+    return int(os.environ.get(name, str(default)))
+
+
+def _env_bool(name: str, default: bool) -> bool:
+    return os.environ.get(name, "1" if default else "0") == "1"
+
+
+@dataclass(frozen=True)
+class H2AConfig:
+    # circuit shape
+    k_inner: int = 9  # simple-example.rs:560
+    k_outer: int = 23  # simple-example.rs:654
+    num_proofs: int = 1  # inner proofs per outer circuit
+    mul_nbits: int = 254  # in-circuit mul_var ladder width
+
+    # non-native arithmetic (aggregation/gadgets/integer.py)
+    limb_bits: int = 68
+    num_limbs: int = 4
+    range_table_bits: int = 17
+
+    # device limb layout (ops/field_ops.py)
+    device_limb_bits: int = 8
+    device_nlimbs: int = 32
+
+    # batching / parallelism
+    batch: int = _env_int("H2A_BENCH_BATCH", 64)  # proofs per device batch
+    mesh_dp: int = _env_int("H2A_MESH_DP", 4)  # data-parallel axis
+    mesh_mp: int = _env_int("H2A_MESH_MP", 2)  # model(lane)-parallel axis
+
+    # execution toggles
+    device_msm: bool = field(
+        default_factory=lambda: _env_bool("H2A_DEVICE_MSM", False)
+    )  # commit_lagrange on device vs native C++ Pippenger
+    pallas_ec: bool = field(
+        default_factory=lambda: _env_bool("H2A_PALLAS_EC", True)
+    )  # VMEM-resident Pallas ladder vs XLA scan in the batched verifier
+    full_mock: bool = field(
+        default_factory=lambda: _env_bool("H2A_FULL_MOCK", True)
+    )  # full constraint check of the outer circuit in slow tests
+
+    @classmethod
+    def from_env(cls, **overrides) -> "H2AConfig":
+        cfg = cls(
+            k_inner=_env_int("H2A_INNER_K", cls.k_inner),
+            k_outer=_env_int("H2A_OUTER_K", cls.k_outer),
+            num_proofs=_env_int("H2A_NUM_PROOFS", cls.num_proofs),
+            mul_nbits=_env_int("H2A_MUL_NBITS", cls.mul_nbits),
+        )
+        if overrides:
+            from dataclasses import replace
+
+            cfg = replace(cfg, **overrides)
+        return cfg
+
+    def mesh_shape(self, n_devices: int):
+        """(dp, mp) factorization for an n-device mesh: keep mp fixed and
+        scale dp, the batch axis (parallel/mesh.py)."""
+        mp = min(self.mesh_mp, n_devices)
+        return (n_devices // mp, mp)

@@ -200,6 +200,51 @@ def _scalar_mul_kernel(nbits, p_ref, pinv_ref, comp_ref, one_ref, px_ref, py_ref
     oz_ref[:] = acc_z
 
 
+def scalar_mul_auto(points_jac, scalars, nbits=254):
+    """Dispatch a batched Jacobian scalar-mul to the best backend for the
+    current platform: the VMEM-resident Pallas ladder on TPU, the XLA scan
+    elsewhere (CPU tests; Mosaic interpret mode would be far slower).
+
+    Accepts any leading batch shape (..., 32); pads the flattened lane
+    count to a tile multiple with identity points (identity is absorbing
+    under the kernel's branchless jac_add, so padding lanes are inert)."""
+    from .curve_ops import JacPoint, scalar_mul
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        return scalar_mul(points_jac, scalars, nbits)
+
+    lead = points_jac.x.shape[:-1]
+    n = 1
+    for d in lead:
+        n *= d
+    tile = PALLAS_TILE
+    pad = (-n) % tile
+    flat = lambda a: a.reshape(n, NLIMBS)
+
+    def padded(a, fill):
+        a = flat(a)
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.broadcast_to(fill, (pad, NLIMBS)).astype(a.dtype)], 0
+            )
+        return a
+
+    one_mont = jnp.asarray(FQ.one_mont)
+    zero = jnp.zeros((NLIMBS,), jnp.int32)
+    P = JacPoint(
+        padded(points_jac.x, one_mont),
+        padded(points_jac.y, one_mont),
+        padded(points_jac.z, zero),
+    )
+    s = padded(scalars, zero)
+    out = scalar_mul_pallas(P, s, nbits, tile, False)
+    unflat = lambda a: a[:n].reshape(*lead, NLIMBS)
+    return JacPoint(unflat(out.x), unflat(out.y), unflat(out.z))
+
+
+PALLAS_TILE = 256
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def scalar_mul_pallas(points_jac, scalars, nbits=254, tile=256, interpret=False):
     """Batched Jacobian scalar-mul as a single VMEM-resident Pallas kernel.

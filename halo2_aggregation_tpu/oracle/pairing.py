@@ -250,3 +250,15 @@ def multi_pairing_check(pairs) -> bool:
     for p, q in pairs:
         f = fq12_mul(f, miller_loop(p, q))
     return final_exponentiation(f) == FQ12_ONE
+
+
+def multi_pairing_check_fast(pairs) -> bool:
+    """Production path: the C++ pairing (native/h2a_native.cpp, ~40x
+    faster), oracle-diffed against this module in
+    tests/test_native_engine.py; falls back to the Python oracle when the
+    native library is unavailable."""
+    from ..utils import native
+
+    if native.available():
+        return native.multi_pairing_check(pairs)
+    return multi_pairing_check(pairs)

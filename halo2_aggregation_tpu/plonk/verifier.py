@@ -16,7 +16,7 @@ from typing import List, Tuple
 
 from ..fields import R
 from ..oracle import curve as oc
-from ..oracle.pairing import multi_pairing_check
+from ..oracle.pairing import multi_pairing_check_fast as multi_pairing_check
 from ..utils.transcript import Blake2bRead
 from .keygen import VerifyingKey
 from .kzg import Params

@@ -609,7 +609,7 @@ def aggregate_quads(quads, g1, s_g2, g2):
 def check_aggregate(quads, params) -> bool:
     """One pairing for the whole batch (vs one per proof)."""
     from ..oracle import curve as oc
-    from ..oracle.pairing import multi_pairing_check
+    from ..oracle.pairing import multi_pairing_check_fast as multi_pairing_check
 
     (W, RHS), _ = aggregate_quads(quads, params.g1, params.s_g2, params.g2)
     return multi_pairing_check(
@@ -629,7 +629,7 @@ def verify_batch(
     host pairing checks.  With aggregate=True, folds all quads into ONE
     pairing check and returns (ok: bool, quads)."""
     from ..oracle import curve as oc
-    from ..oracle.pairing import multi_pairing_check
+    from ..oracle.pairing import multi_pairing_check_fast as multi_pairing_check
     from .verifier import parse_proof
 
     parsed = []

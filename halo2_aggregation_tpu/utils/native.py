@@ -83,6 +83,14 @@ def _load():
             _U64P, ctypes.c_size_t, _U64P, _U64P,
         ]
         lib.h2a_fr_fold.argtypes = [_U64P, _U64P, _U64P, ctypes.c_size_t]
+        lib.h2a_miller_loop.argtypes = [
+            _U64P, ctypes.c_int, _U64P, ctypes.c_int, _U64P,
+        ]
+        lib.h2a_final_exp.argtypes = [_U64P, _U64P]
+        lib.h2a_multi_pairing_check.argtypes = [
+            ctypes.c_size_t, _U64P, _U8P, _U64P,
+        ]
+        lib.h2a_multi_pairing_check.restype = ctypes.c_int
         _LIB = lib
     except Exception:
         _LIB = None
@@ -298,3 +306,49 @@ def g1_batch_mul_win(base_xy: np.ndarray, scalars_u64: np.ndarray):
     inf = np.empty(n, dtype=np.uint8)
     _lib().h2a_g1_batch_mul_win(_p(base_xy), _p(scalars_u64), n, _p(aff), _p8(inf))
     return aff, inf
+
+
+# ---------------------------------------------------------------------------
+# pairing (the deferred e(w, [tau]_2) == e(zw+f+e, [1]_2) check)
+# ---------------------------------------------------------------------------
+
+
+def _g1_flat(pairs):
+    n = len(pairs)
+    g1 = np.zeros((n, 8), dtype=np.uint64)
+    infs = np.zeros(n, dtype=np.uint8)
+    g2 = np.zeros((n, 16), dtype=np.uint64)
+    for j, (p, q) in enumerate(pairs):
+        if p is None:
+            infs[j] = 1
+        else:
+            g1[j, :4] = _to_u64_limbs(p[0])
+            g1[j, 4:] = _to_u64_limbs(p[1])
+        (x2, y2) = q
+        for jj, v in enumerate([x2[0], x2[1], y2[0], y2[1]]):
+            g2[j, 4 * jj : 4 * jj + 4] = _to_u64_limbs(v)
+    return g1, infs, g2
+
+
+def multi_pairing_check(pairs) -> bool:
+    """Native prod e(P_i, Q_i) == 1 check (h2a_multi_pairing_check);
+    oracle-diffed in tests/test_native_engine.py.  G2 inputs must be
+    actual points (never infinity — true at every call site: the G2 side
+    is always [tau]_2 / [1]_2 from the SRS)."""
+    g1, infs, g2 = _g1_flat(pairs)
+    return bool(
+        _lib().h2a_multi_pairing_check(len(pairs), _p(g1), _p8(infs), _p(g2))
+    )
+
+
+def miller_loop(p, q):
+    """Native Miller loop -> Fq12 as the oracle's nested tuples (12 Fq
+    coefficients), for oracle-diff testing."""
+    g1, infs, g2 = _g1_flat([(p, q)])
+    out = np.zeros(48, dtype=np.uint64)
+    _lib().h2a_miller_loop(_p(g1), int(infs[0]), _p(g2), 0, _p(out))
+    c = [_from_u64(out[4 * i : 4 * i + 4]) for i in range(12)]
+    return (
+        ((c[0], c[1]), (c[2], c[3]), (c[4], c[5])),
+        ((c[6], c[7]), (c[8], c[9]), (c[10], c[11])),
+    )

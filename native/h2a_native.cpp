@@ -866,3 +866,432 @@ void h2a_fr_fold(u64 *acc, const u64 *x, const u64 *v4, size_t n) {
   }
 }
 }
+
+// ===========================================================================
+// BN254 optimal-ate pairing
+//
+// The deferred check the whole aggregation pipeline reduces to:
+//   e(w, [tau]_2) == e(zw + f + e, [1]_2)
+// (SURVEY.md §3.3; the reference runs it inside its Rust fork's
+// verify_proof, simple-example.rs:722-730).  Strategy mirrors the Python
+// oracle (halo2_aggregation_tpu/oracle/pairing.py): untwist G2 to E(Fq12)
+// and run a fully generic affine Miller loop + big-exponent final
+// exponentiation.  Generic is ~4x slower than sparse-line code but has no
+// room for coefficient errors — and at C++ speed the whole pairing is
+// ~tens of ms vs seconds in Python.  Correctness is pinned by oracle-diff
+// tests (tests/test_native_engine.py).
+// ===========================================================================
+
+struct Fq2 { Fq c0, c1; };
+struct Fq6 { Fq2 c0, c1, c2; };
+struct Fq12 { Fq6 c0, c1; };
+
+static inline void fq2_add(Fq2 &r, const Fq2 &a, const Fq2 &b) {
+  add_mod(r.c0, a.c0, b.c0); add_mod(r.c1, a.c1, b.c1);
+}
+static inline void fq2_sub(Fq2 &r, const Fq2 &a, const Fq2 &b) {
+  sub_mod(r.c0, a.c0, b.c0); sub_mod(r.c1, a.c1, b.c1);
+}
+static inline void fq2_neg(Fq2 &r, const Fq2 &a) {
+  Fq z; memset(z.v, 0, 32);
+  sub_mod(r.c0, z, a.c0); sub_mod(r.c1, z, a.c1);
+}
+// (a0 + a1 u)(b0 + b1 u) = (a0b0 - a1b1) + (a0b1 + a1b0) u   (u^2 = -1)
+static void fq2_mul(Fq2 &r, const Fq2 &a, const Fq2 &b) {
+  Fq t0, t1, t2, t3;
+  mont_mul(t0, a.c0, b.c0);
+  mont_mul(t1, a.c1, b.c1);
+  mont_mul(t2, a.c0, b.c1);
+  mont_mul(t3, a.c1, b.c0);
+  sub_mod(r.c0, t0, t1);
+  add_mod(r.c1, t2, t3);
+}
+static void fq2_inv(Fq2 &r, const Fq2 &a) {
+  Fq t0, t1, t;
+  mont_mul(t0, a.c0, a.c0);
+  mont_mul(t1, a.c1, a.c1);
+  add_mod(t, t0, t1);
+  mont_inv(t, t);
+  mont_mul(r.c0, a.c0, t);
+  Fq n1; Fq z; memset(z.v, 0, 32);
+  sub_mod(n1, z, a.c1);
+  mont_mul(r.c1, n1, t);
+}
+
+// xi = 9 + u (the sextic-twist non-residue), Montgomery form
+static Fq2 fq2_xi() {
+  Fq2 xi;
+  Fq nine; Fq r2; memcpy(r2.v, R2, 32);
+  u64 nine_p[4] = {9, 0, 0, 0};
+  Fq n; memcpy(n.v, nine_p, 32);
+  mont_mul(nine, n, r2);
+  xi.c0 = nine;
+  memcpy(xi.c1.v, R1, 32);
+  return xi;
+}
+
+static void fq6_add(Fq6 &r, const Fq6 &a, const Fq6 &b) {
+  fq2_add(r.c0, a.c0, b.c0); fq2_add(r.c1, a.c1, b.c1); fq2_add(r.c2, a.c2, b.c2);
+}
+static void fq6_sub(Fq6 &r, const Fq6 &a, const Fq6 &b) {
+  fq2_sub(r.c0, a.c0, b.c0); fq2_sub(r.c1, a.c1, b.c1); fq2_sub(r.c2, a.c2, b.c2);
+}
+static void fq6_neg(Fq6 &r, const Fq6 &a) {
+  fq2_neg(r.c0, a.c0); fq2_neg(r.c1, a.c1); fq2_neg(r.c2, a.c2);
+}
+// schoolbook mul in Fq2[v]/(v^3 - xi) — mirrors oracle fq6_mul exactly
+static void fq6_mul(Fq6 &r, const Fq6 &a, const Fq6 &b) {
+  Fq2 xi = fq2_xi();
+  Fq2 t00, t11, t22, t, s, u;
+  fq2_mul(t00, a.c0, b.c0);
+  fq2_mul(t11, a.c1, b.c1);
+  fq2_mul(t22, a.c2, b.c2);
+  // c0 = t00 + xi*(a1*b2 + a2*b1)
+  fq2_mul(t, a.c1, b.c2);
+  fq2_mul(s, a.c2, b.c1);
+  fq2_add(t, t, s);
+  fq2_mul(t, xi, t);
+  fq2_add(r.c0, t00, t);
+  // c1 = a0*b1 + a1*b0 + xi*t22
+  fq2_mul(t, a.c0, b.c1);
+  fq2_mul(s, a.c1, b.c0);
+  fq2_add(t, t, s);
+  fq2_mul(u, xi, t22);
+  fq2_add(r.c1, t, u);
+  // c2 = a0*b2 + a2*b0 + t11
+  fq2_mul(t, a.c0, b.c2);
+  fq2_mul(s, a.c2, b.c0);
+  fq2_add(t, t, s);
+  fq2_add(r.c2, t, t11);
+}
+// a * v : (a0 + a1 v + a2 v^2) v = xi a2 + a0 v + a1 v^2
+static void fq6_mul_by_v(Fq6 &r, const Fq6 &a) {
+  Fq2 xi = fq2_xi();
+  Fq2 t;
+  fq2_mul(t, xi, a.c2);
+  Fq2 a0 = a.c0, a1 = a.c1;
+  r.c0 = t; r.c1 = a0; r.c2 = a1;
+}
+static void fq6_inv(Fq6 &r, const Fq6 &a) {
+  Fq2 xi = fq2_xi();
+  Fq2 c0, c1, c2, t, s, u;
+  fq2_mul(t, a.c0, a.c0);
+  fq2_mul(s, a.c1, a.c2);
+  fq2_mul(s, xi, s);
+  fq2_sub(c0, t, s);
+  fq2_mul(t, a.c2, a.c2);
+  fq2_mul(t, xi, t);
+  fq2_mul(s, a.c0, a.c1);
+  fq2_sub(c1, t, s);
+  fq2_mul(t, a.c1, a.c1);
+  fq2_mul(s, a.c0, a.c2);
+  fq2_sub(c2, t, s);
+  // t = a0*c0 + xi*(a2*c1 + a1*c2)
+  fq2_mul(t, a.c2, c1);
+  fq2_mul(s, a.c1, c2);
+  fq2_add(t, t, s);
+  fq2_mul(t, xi, t);
+  fq2_mul(s, a.c0, c0);
+  fq2_add(t, s, t);
+  fq2_inv(u, t);
+  fq2_mul(r.c0, c0, u);
+  fq2_mul(r.c1, c1, u);
+  fq2_mul(r.c2, c2, u);
+}
+
+static void fq12_mul(Fq12 &r, const Fq12 &a, const Fq12 &b) {
+  Fq6 t0, t1, t2, t3;
+  fq6_mul(t0, a.c0, b.c0);
+  fq6_mul(t1, a.c1, b.c1);
+  fq6_mul(t2, a.c0, b.c1);
+  fq6_mul(t3, a.c1, b.c0);
+  Fq6 v;
+  fq6_mul_by_v(v, t1);
+  fq6_add(r.c0, t0, v);
+  fq6_add(r.c1, t2, t3);
+}
+static void fq12_sub(Fq12 &r, const Fq12 &a, const Fq12 &b) {
+  fq6_sub(r.c0, a.c0, b.c0); fq6_sub(r.c1, a.c1, b.c1);
+}
+static void fq12_add(Fq12 &r, const Fq12 &a, const Fq12 &b) {
+  fq6_add(r.c0, a.c0, b.c0); fq6_add(r.c1, a.c1, b.c1);
+}
+static void fq12_neg(Fq12 &r, const Fq12 &a) {
+  fq6_neg(r.c0, a.c0); fq6_neg(r.c1, a.c1);
+}
+static void fq12_inv(Fq12 &r, const Fq12 &a) {
+  Fq6 t, s;
+  fq6_mul(t, a.c0, a.c0);
+  fq6_mul(s, a.c1, a.c1);
+  Fq6 v;
+  fq6_mul_by_v(v, s);
+  fq6_sub(t, t, v);
+  fq6_inv(t, t);
+  fq6_mul(r.c0, a.c0, t);
+  Fq6 n;
+  fq6_mul(n, a.c1, t);
+  fq6_neg(r.c1, n);
+}
+static void fq12_set_one(Fq12 &r) {
+  memset(&r, 0, sizeof(r));
+  memcpy(r.c0.c0.c0.v, R1, 32);
+}
+static bool fq12_eq(const Fq12 &a, const Fq12 &b) {
+  return memcmp(&a, &b, sizeof(Fq12)) == 0;
+}
+static bool fq12_is_zero(const Fq12 &a) {
+  static const Fq12 z = {};
+  return memcmp(&a, &z, sizeof(Fq12)) == 0;
+}
+// r = a^e, e given as n little-endian u64 limbs (plain integer)
+static void fq12_pow(Fq12 &r, const Fq12 &a, const u64 *e, int n) {
+  int msb = -1;
+  for (int i = n - 1; i >= 0 && msb < 0; i--)
+    for (int b = 63; b >= 0; b--)
+      if ((e[i] >> b) & 1) { msb = i * 64 + b; break; }
+  fq12_set_one(r);
+  if (msb < 0) return;
+  for (int i = msb; i >= 0; i--) {
+    Fq12 t;
+    fq12_mul(t, r, r);
+    r = t;
+    if ((e[i / 64] >> (i % 64)) & 1) {
+      fq12_mul(t, r, a);
+      r = t;
+    }
+  }
+}
+
+// --- E(Fq12): y^2 = x^3 + 3, generic affine arithmetic ---------------------
+
+struct EC12 { Fq12 x, y; bool inf; };
+
+static void fq12_from_fq_mont(Fq12 &r, const Fq &a) {
+  memset(&r, 0, sizeof(r));
+  r.c0.c0.c0 = a;
+}
+
+static void ec12_add(EC12 &r, const EC12 &p, const EC12 &q) {
+  if (p.inf) { r = q; return; }
+  if (q.inf) { r = p; return; }
+  Fq12 lam;
+  if (fq12_eq(p.x, q.x)) {
+    Fq12 ysum;
+    fq12_add(ysum, p.y, q.y);
+    if (fq12_is_zero(ysum)) { r.inf = true; return; }
+    // lam = 3 x^2 / (2 y)
+    Fq12 num, den, t;
+    fq12_mul(t, p.x, p.x);
+    fq12_add(num, t, t);
+    fq12_add(num, num, t);
+    fq12_add(den, p.y, p.y);
+    fq12_inv(den, den);
+    fq12_mul(lam, num, den);
+  } else {
+    Fq12 num, den;
+    fq12_sub(num, q.y, p.y);
+    fq12_sub(den, q.x, p.x);
+    fq12_inv(den, den);
+    fq12_mul(lam, num, den);
+  }
+  Fq12 x3, y3, t;
+  fq12_mul(t, lam, lam);
+  fq12_sub(t, t, p.x);
+  fq12_sub(x3, t, q.x);
+  fq12_sub(t, p.x, x3);
+  fq12_mul(t, lam, t);
+  fq12_sub(y3, t, p.y);
+  r.x = x3; r.y = y3; r.inf = false;
+}
+
+// line through t and q (tangent when t == q), evaluated at p — mirrors
+// oracle _line_eval
+static void line_eval(Fq12 &out, const EC12 &t, const EC12 &q, const Fq12 &xp,
+                      const Fq12 &yp) {
+  Fq12 lam;
+  if (fq12_eq(t.x, q.x) && fq12_eq(t.y, q.y)) {
+    Fq12 num, den, s;
+    fq12_mul(s, t.x, t.x);
+    fq12_add(num, s, s);
+    fq12_add(num, num, s);
+    fq12_add(den, t.y, t.y);
+    fq12_inv(den, den);
+    fq12_mul(lam, num, den);
+  } else if (fq12_eq(t.x, q.x)) {
+    // vertical: x - xt
+    fq12_sub(out, xp, t.x);
+    return;
+  } else {
+    Fq12 num, den;
+    fq12_sub(num, q.y, t.y);
+    fq12_sub(den, q.x, t.x);
+    fq12_inv(den, den);
+    fq12_mul(lam, num, den);
+  }
+  Fq12 a, b;
+  fq12_sub(a, yp, t.y);
+  fq12_sub(b, xp, t.x);
+  fq12_mul(b, lam, b);
+  fq12_sub(out, a, b);
+}
+
+// 6x + 2 for BN254 (fields.py BN_SIX_X_PLUS_2) = 0x19d797039be763ba8
+static const u64 SIX_X_PLUS_2[2] = {0x9d797039be763ba8ULL, 0x1ULL};
+// (q^12 - 1) / r, 2790 bits, 44 little-endian u64 limbs
+static const u64 FINAL_EXP_E[44] = {
+  0x86964b64ca86f120ULL, 0x40a4efb7e54523a4ULL, 0x837fa97896e84abbULL, 0x361102b6b9b2b918ULL,
+  0xc0de81def35692daULL, 0xbe04c7e8a6c3c760ULL, 0xd766f9c9d570bb7fULL, 0xc230974d83561841ULL,
+  0x5bba1668c3be69a3ULL, 0x7f3811c410526294ULL, 0x29baee7ddadda71cULL, 0xbf813b8d145da900ULL,
+  0x641bbadf423f9a2cULL, 0xa80bb4ea44eacc5eULL, 0xcd65664814fde37cULL, 0x4a0364b9580291d2ULL,
+  0xee93dfb10826f0ddULL, 0x6b42db8dc5514724ULL, 0xbb10cf430b0f3785ULL, 0x40494e406f804216ULL,
+  0x55cfe107acf3aafbULL, 0x2088ec80e0ebae87ULL, 0x846a3ed011a337a0ULL, 0x48a45a4a1e3a5195ULL,
+  0xe5664568dfc50e16ULL, 0xab6a41294c0cc4ebULL, 0x82d0d602d268c7daULL, 0x6668449aed3cc48aULL,
+  0x5062cd0fb2015dfcULL, 0x7f2940a8b1ddb3d1ULL, 0x77f5b63a2a226448ULL, 0xfef0781361e443aeULL,
+  0xf977870e88d5c6c8ULL, 0x790364a61f676baaULL, 0x5887e72eceaddea3ULL, 0x1377e563a09a1b70ULL,
+  0x0c54efee1bd8c3b2ULL, 0x3ec3d15ad524d8f7ULL, 0xdaf15466b2383a5dULL, 0xe1e30a73bb94fec0ULL,
+  0x6a1c71015f3f7be2ULL, 0x842d43bf6369b1ffULL, 0x20fddadf107d20bcULL, 0x0000002f4b6dc970ULL};
+
+// untwist (x2, y2) on E'(Fq2) to E(Fq12): (x2 w^2, y2 w^3).
+// w^2 = v (so x lands in the c1 slot of the Fq6 at c0), w^3 = v w (y lands
+// in the c1 slot of the Fq6 at c1) — matches oracle FQ12_W2/W3.
+static void untwist(EC12 &r, const Fq2 &x2, const Fq2 &y2) {
+  memset(&r, 0, sizeof(r));
+  r.x.c0.c1 = x2;
+  r.y.c1.c1 = y2;
+  r.inf = false;
+}
+
+static void ec12_frobenius(EC12 &r, const EC12 &p) {
+  fq12_pow(r.x, p.x, Q, 4);
+  fq12_pow(r.y, p.y, Q, 4);
+  r.inf = p.inf;
+}
+
+// f_{6x+2,Q}(P) with the two Frobenius correction lines (oracle miller_loop)
+static void miller_loop_mont(Fq12 &f, const Fq &px, const Fq &py, bool p_inf,
+                             const Fq2 &qx, const Fq2 &qy, bool q_inf) {
+  fq12_set_one(f);
+  if (p_inf || q_inf) return;
+  Fq12 xp, yp;
+  fq12_from_fq_mont(xp, px);
+  fq12_from_fq_mont(yp, py);
+  EC12 q12, t;
+  untwist(q12, qx, qy);
+  t = q12;
+  // bits of 6x+2 below the leading one, MSB -> LSB (65-bit constant)
+  for (int i = 63; i >= 0; i--) {
+    Fq12 l, s;
+    fq12_mul(s, f, f);
+    line_eval(l, t, t, xp, yp);
+    fq12_mul(f, s, l);
+    EC12 t2;
+    ec12_add(t2, t, t);
+    t = t2;
+    int bit = (i >= 64) ? (int)((SIX_X_PLUS_2[1] >> (i - 64)) & 1)
+                        : (int)((SIX_X_PLUS_2[0] >> i) & 1);
+    if (bit) {
+      line_eval(l, t, q12, xp, yp);
+      fq12_mul(f, f, l);
+      ec12_add(t2, t, q12);
+      t = t2;
+    }
+  }
+  EC12 q1, q2n;
+  ec12_frobenius(q1, q12);
+  ec12_frobenius(q2n, q1);
+  fq12_neg(q2n.y, q2n.y);
+  Fq12 l;
+  line_eval(l, t, q1, xp, yp);
+  fq12_mul(f, f, l);
+  EC12 t2;
+  ec12_add(t2, t, q1);
+  t = t2;
+  line_eval(l, t, q2n, xp, yp);
+  fq12_mul(f, f, l);
+}
+
+// --- interchange helpers ----------------------------------------------------
+// Fq12 <-> 48 plain u64 (12 Fq coeffs in oracle tuple nesting order:
+// c0.(c0,c1,c2).(c0,c1) then c1.(...)).
+
+static void fq_to_mont_(Fq &r, const u64 *plain) {
+  Fq a, r2;
+  memcpy(a.v, plain, 32);
+  memcpy(r2.v, R2, 32);
+  mont_mul(r, a, r2);
+}
+static void fq_from_mont_(u64 *plain, const Fq &a) {
+  Fq one, r;
+  memset(one.v, 0, 32);
+  one.v[0] = 1;
+  mont_mul(r, a, one);
+  memcpy(plain, r.v, 32);
+}
+
+static void fq12_load(Fq12 &r, const u64 *in48) {
+  Fq *c = &r.c0.c0.c0;
+  for (int i = 0; i < 12; i++) fq_to_mont_(c[i], in48 + 4 * i);
+}
+static void fq12_store(u64 *out48, const Fq12 &a) {
+  const Fq *c = &a.c0.c0.c0;
+  for (int i = 0; i < 12; i++) fq_from_mont_(out48 + 4 * i, c[i]);
+}
+
+extern "C" {
+
+// p_xy: 8 plain u64 (G1 affine); q: 16 plain u64 (x.c0, x.c1, y.c0, y.c1);
+// out48: Miller-loop value as 48 plain u64.
+void h2a_miller_loop(const u64 *p_xy, int p_inf, const u64 *q, int q_inf,
+                     u64 *out48) {
+  Fq px, py;
+  fq_to_mont_(px, p_xy);
+  fq_to_mont_(py, p_xy + 4);
+  Fq2 qx, qy;
+  fq_to_mont_(qx.c0, q);
+  fq_to_mont_(qx.c1, q + 4);
+  fq_to_mont_(qy.c0, q + 8);
+  fq_to_mont_(qy.c1, q + 12);
+  Fq12 f;
+  miller_loop_mont(f, px, py, p_inf != 0, qx, qy, q_inf != 0);
+  fq12_store(out48, f);
+}
+
+void h2a_final_exp(const u64 *in48, u64 *out48) {
+  Fq12 f, r;
+  fq12_load(f, in48);
+  fq12_pow(r, f, FINAL_EXP_E, 44);
+  fq12_store(out48, r);
+}
+
+// prod e(P_i, Q_i) == 1?  g1: n*8 plain u64 (+ inf flags); g2: n*16 plain
+// u64 (never infinity in our call sites, but a zero y marks it).
+int h2a_multi_pairing_check(size_t n, const u64 *g1, const uint8_t *g1_inf,
+                            const u64 *g2) {
+  Fq12 acc;
+  fq12_set_one(acc);
+  // Miller loops are independent: 2 threads (matches msm threading)
+  std::vector<Fq12> fs(n);
+#pragma omp parallel for schedule(static)
+  for (size_t i = 0; i < n; i++) {
+    Fq px, py;
+    fq_to_mont_(px, g1 + 8 * i);
+    fq_to_mont_(py, g1 + 8 * i + 4);
+    Fq2 qx, qy;
+    fq_to_mont_(qx.c0, g2 + 16 * i);
+    fq_to_mont_(qx.c1, g2 + 16 * i + 4);
+    fq_to_mont_(qy.c0, g2 + 16 * i + 8);
+    fq_to_mont_(qy.c1, g2 + 16 * i + 12);
+    miller_loop_mont(fs[i], px, py, g1_inf[i] != 0, qx, qy, false);
+  }
+  for (size_t i = 0; i < n; i++) {
+    Fq12 t;
+    fq12_mul(t, acc, fs[i]);
+    acc = t;
+  }
+  Fq12 r, one;
+  fq12_pow(r, acc, FINAL_EXP_E, 44);
+  fq12_set_one(one);
+  return fq12_eq(r, one) ? 1 : 0;
+}
+
+}  // extern "C"

@@ -49,7 +49,10 @@ def test_in_circuit_verifier_quad_matches(inner_proof):
     print(f"rows used: {ctx.offset} (k={outer_k} capacity {1 << outer_k})")
     assert ctx.offset <= cs.usable_rows(1 << outer_k)
 
-    if os.environ.get("H2A_FULL_MOCK", "0") == "1":
+    # Full constraint check is default-on for the slow suite (the single
+    # most important correctness property of the in-circuit verifier);
+    # H2A_FULL_MOCK=0 opts out for quick local iteration.
+    if os.environ.get("H2A_FULL_MOCK", "1") == "1":
         from halo2_aggregation_tpu.plonk.mock import mock_verify_fast
 
         failures = mock_verify_fast(cs, asg)

@@ -156,3 +156,48 @@ def test_g1_msm_threaded_matches_oracle():
         agg[i % 64] = (agg[i % 64] + s) % R
     want = oc.g1_msm(pts[:64], agg)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# pairing
+# ---------------------------------------------------------------------------
+
+
+def test_native_miller_loop_matches_oracle():
+    from halo2_aggregation_tpu.oracle import pairing as op
+
+    g1, g2 = oc.g1_generator(), oc.g2_generator()
+    p = oc.g1_mul(g1, 12345)
+    q = oc.g2_mul(g2, 6789)
+    assert native.miller_loop(p, q) == op.miller_loop(p, q)
+    # infinity on the G1 side -> 1
+    assert native.miller_loop(None, q) == op.FQ12_ONE
+
+
+@pytest.mark.slow
+def test_native_pairing_bilinearity():
+    """e(aP, bQ) * e(-abP, Q) == 1 and a perturbed product != 1."""
+    g1, g2 = oc.g1_generator(), oc.g2_generator()
+    a, b = 777, 888
+    good = [
+        (oc.g1_mul(g1, a), oc.g2_mul(g2, b)),
+        (oc.g1_neg(oc.g1_mul(g1, a * b % R)), g2),
+    ]
+    bad = [
+        (oc.g1_mul(g1, a), oc.g2_mul(g2, b)),
+        (oc.g1_neg(oc.g1_mul(g1, 42)), g2),
+    ]
+    assert native.multi_pairing_check(good)
+    assert not native.multi_pairing_check(bad)
+
+
+def test_native_final_exp_matches_oracle_check():
+    """The full check agrees with the Python oracle on a random instance."""
+    from halo2_aggregation_tpu.oracle import pairing as op
+
+    g1, g2 = oc.g1_generator(), oc.g2_generator()
+    pairs = [
+        (oc.g1_mul(g1, 31415), oc.g2_mul(g2, 2718)),
+        (oc.g1_neg(oc.g1_mul(g1, 31415 * 2718 % R)), g2),
+    ]
+    assert native.multi_pairing_check(pairs) == op.multi_pairing_check(pairs)

@@ -42,6 +42,20 @@ def test_tpu_matches_host_quad(setup_proofs):
 
 
 @pytest.mark.slow
+def test_slow_path_matches_fast_and_host(setup_proofs):
+    """The sequential parity path (fast=False, fold-for-fold mirror of
+    verifier.rs/multiopen.rs) must produce the identical quad as the
+    production single-MSM path (fast=True) and the host verifier."""
+    params, vk, insts, proofs = setup_proofs
+    host = [verify_proof(params, vk, ins, pf) for ins, pf in zip(insts, proofs)]
+    oks_f, efws_fast = verify_batch(params, vk, insts, proofs, fast=True)
+    oks_s, efws_slow = verify_batch(params, vk, insts, proofs, fast=False)
+    assert all(oks_f) and all(oks_s)
+    for (ok_h, efw_h), efw_f, efw_s in zip(host, efws_fast, efws_slow):
+        assert tuple(efw_s) == tuple(efw_f) == tuple(efw_h)
+
+
+@pytest.mark.slow
 def test_tpu_rejects_bad_proof(setup_proofs):
     params, vk, insts, proofs = setup_proofs
     bad = bytearray(proofs[0])
