@@ -96,6 +96,26 @@ class TranscriptChip:
         return self.mg.assign_value(ctx, c)
 
 
+def assign_point_from_instance(
+    mg, ecc, ctx, instance_col, instance_row, known: bool
+) -> "AssignedPoint":
+    """8 instance limbs -> point (verifier.rs:200-225): witness advice
+    limbs copied against the instance column.  With known=False
+    (keygen-shape synthesis) the limbs are witnessed as unknown, exactly
+    like halo2's Value::unknown(); the copy constraint is positional and
+    needs no value either way."""
+    cells = []
+    for i in range(8):
+        v = None
+        if known:
+            vals = ctx.assignment.instance[instance_col.index]
+            v = vals[instance_row + i]
+        av = mg.assign_value(ctx, v)
+        ctx.assignment.copy(av.column, av.row, instance_col, instance_row + i)
+        cells.append(av)
+    return ecc.assign_point_from_cells(ctx, cells[:4], cells[4:])
+
+
 @dataclass
 class MultiopenVar:
     w: AssignedPoint
@@ -145,30 +165,25 @@ class VerifierChip:
     def assign_point_from_instance(self, ctx, instance_col, instance_row) -> AssignedPoint:
         """8 instance limbs -> point (verifier.rs:200-225): witness advice
         limbs copied against the instance column."""
-        cells = []
-        for i in range(8):
-            # Keygen-shape synthesis (transcript=None) has no instance
-            # values: witness the limbs as unknown, exactly like halo2's
-            # Value::unknown(); the copy constraint below is positional and
-            # needs no value either way (verifier.rs:200-225).
-            v = None
-            if self.transcript is not None:
-                vals = ctx.assignment.instance[instance_col.index]
-                v = vals[instance_row + i]
-            av = self.mg.assign_value(ctx, v)
-            ctx.assignment.copy(av.column, av.row, instance_col, instance_row + i)
-            cells.append(av)
-        from .gadgets.integer import limbs_to_value
-
-        return self.ecc.assign_point_from_cells(ctx, cells[:4], cells[4:])
+        return assign_point_from_instance(
+            self.mg,
+            self.ecc,
+            ctx,
+            instance_col,
+            instance_row,
+            known=self.transcript is not None,
+        )
 
     def _mul_var(self, ctx, pt, scalar):
         return self.ecc.mul_var(ctx, pt, scalar, self.mul_nbits)
 
     # ------------------------------------------------------------------
-    def verify_proof(self, ctx: Ctx, instance_col: Column):
+    def verify_proof(self, ctx: Ctx, instance_col: Column, instance_offset: int = 0):
         """The full §3.2 schedule.  Returns (MultiopenVar, verdict_bit);
-        also pins the quad against instance rows 8..39."""
+        also pins the quad against instance rows offset+8..offset+39.
+        `instance_offset` places this proof's 40-scalar instance block —
+        proof i of a multi-proof circuit lives at offset 40*i
+        (models/aggregation_circuit.py)."""
         vk = self.vk
         cs = vk.cs
         mg, ecc, ic = self.mg, self.ecc, self.ic
@@ -182,7 +197,7 @@ class VerifierChip:
         num_lookups = len(cs.lookups)
 
         # 1. instance commitments from the instance column
-        instance_row = 0
+        instance_row = instance_offset
         inst_comms = []
         for _ in range(cs.num_instance_columns):
             inst_comms.append(

@@ -1,11 +1,30 @@
-"""SingleProofCircuit: the outer aggregation circuit.
+"""SingleProofCircuit / AggregationCircuit: the outer aggregation circuit.
 
 Re-creation of the reference's driver circuit
 (`/root/reference/examples/simple-example.rs:445-533`): wraps VerifierChip
 so that "inner proof P verifies under vk V" becomes a provable statement,
 with public inputs [limbs(inst_comm), limbs(e), limbs(f), limbs(w),
-limbs(zw)] — 8 scalars per point, 40 total
+limbs(zw)] — 8 scalars per point, 40 per proof
 (simple-example.rs:535-548, :668-671).
+
+Beyond the reference (whose `num_proofs` is pinned to 1,
+simple-example.rs:654): `AggregationCircuit` verifies N inner proofs with
+N `VerifierChip` instances sharing one gadget config + range table, and
+folds the N deferred-pairing quads into ONE in-circuit, mirroring the
+host-side `verifier_tpu.aggregate_quads` fold exactly:
+
+    rhs_i = zw_i + f_i + e_i
+    W     = sum_i lambda^i * w_i          (Horner, in-circuit mul_var)
+    RHS   = sum_i lambda^i * rhs_i
+
+Instance layout (documented for VERDICT item 6):
+    rows [40*i, 40*i+40): [inst_comm_i, e_i, f_i, w_i, zw_i]   for each i
+    rows [40*N, 40*N+16): [W, RHS]                             when N > 1
+so the final statement needs one pairing check e(W, [tau]_2) ==
+e(RHS, [1]_2) for the whole batch.  `lambda` is derived by the same
+Fiat-Shamir hash as `aggregate_quads` and — like every transcript
+challenge here and in the reference (transcript.rs:62-65) — is witnessed
+unconstrained (see README security notes).
 """
 
 from __future__ import annotations
@@ -18,6 +37,7 @@ from ..aggregation.gadgets.ecc import EccChip
 from ..aggregation.gadgets.integer import IntegerChip, value_to_limbs
 from ..aggregation.gadgets.main_gate import Ctx, MainGate
 from ..aggregation.gadgets.range_chip import RangeChip
+from ..fields import R
 from ..plonk.circuit import Assignment, ConstraintSystem
 from ..plonk.keygen import VerifyingKey
 from ..utils.transcript import Blake2bRead
@@ -27,6 +47,20 @@ def point_to_scalars(p) -> List[int]:
     """4 x-limbs then 4 y-limbs of 68 bits (simple-example.rs:535-548)."""
     x, y = p
     return value_to_limbs(x) + value_to_limbs(y)
+
+
+def aggregate_lambda(quads) -> int:
+    """The quad-folding challenge: identical bytes to
+    verifier_tpu.aggregate_quads (blake2b over compressed quad points)."""
+    import hashlib
+
+    from ..utils.serialization import g1_compress
+
+    h = hashlib.blake2b(digest_size=64, person=b"H2A-Aggregate---")
+    for e, f, w, zw in quads:
+        for p in (e, f, w, zw):
+            h.update(g1_compress(p))
+    return int.from_bytes(h.digest(), "little") % R
 
 
 @dataclass
@@ -51,36 +85,140 @@ def configure(cs: ConstraintSystem) -> SingleProofConfig:
 
 
 @dataclass
-class SingleProofCircuit:
-    """log_n/vk/transcript mirror the reference struct
-    (simple-example.rs:445-461); transcript None => keygen shape."""
+class AggregationCircuit:
+    """N inner proofs -> N in-circuit verifications -> one folded quad.
+
+    vk/transcripts mirror the reference struct (simple-example.rs:445-461);
+    proofs None => keygen shape."""
 
     inner_vk: VerifyingKey
-    proof: Optional[bytes]
+    proofs: Optional[List[bytes]]
     num_proofs: int = 1
     mul_nbits: int = 254
 
-    def without_witnesses(self) -> "SingleProofCircuit":
-        return SingleProofCircuit(self.inner_vk, None, self.num_proofs, self.mul_nbits)
+    def __post_init__(self):
+        if self.proofs is not None:
+            assert len(self.proofs) == self.num_proofs
 
-    def public_inputs(self, inst_comm, efw) -> List[int]:
-        out = list(point_to_scalars(inst_comm))
-        for p in efw:
-            out.extend(point_to_scalars(p))
+    def without_witnesses(self) -> "AggregationCircuit":
+        return AggregationCircuit(
+            self.inner_vk, None, self.num_proofs, self.mul_nbits
+        )
+
+    def public_inputs(self, inst_comms, efws) -> List[int]:
+        """[inst_comm_i, e_i, f_i, w_i, zw_i] x N, then [W, RHS] if N>1."""
+        if self.num_proofs == 1 and not isinstance(inst_comms, list):
+            inst_comms, efws = [inst_comms], [efws]
+        out: List[int] = []
+        for ic_pt, efw in zip(inst_comms, efws):
+            out.extend(point_to_scalars(ic_pt))
+            for p in efw:
+                out.extend(point_to_scalars(p))
+        if self.num_proofs > 1:
+            W, RHS = fold_quads_host(efws)
+            out.extend(point_to_scalars(W))
+            out.extend(point_to_scalars(RHS))
         return out
 
     def synthesize(self, cs: ConstraintSystem, cfg: SingleProofConfig, asg: Assignment):
         cfg.rc.load_table(asg)
         ctx = Ctx(asg)
-        transcript = None if self.proof is None else Blake2bRead(self.proof)
-        chip = VerifierChip(
-            cfg.mg, cfg.ecc, self.inner_vk, transcript, self.mul_nbits
+        ecc, mg = cfg.ecc, cfg.mg
+        quads = []
+        for i in range(self.num_proofs):
+            transcript = (
+                None if self.proofs is None else Blake2bRead(self.proofs[i])
+            )
+            chip = VerifierChip(
+                mg, ecc, self.inner_vk, transcript, self.mul_nbits
+            )
+            quad, _verdict = chip.verify_proof(
+                ctx, cfg.instance_col, instance_offset=40 * i
+            )
+            quads.append(quad)
+        if self.num_proofs == 1:
+            return ctx, quads[0]
+
+        # ---- in-circuit quad folding (mirrors aggregate_quads) ----------
+        lam_v = None
+        if self.proofs is not None:
+            vals = [
+                (q.e.value(), q.f.value(), q.w.value(), q.zw.value())
+                for q in quads
+            ]
+            lam_v = aggregate_lambda(vals)
+        lam = mg.assign_value(ctx, lam_v)
+
+        def fold(pts):
+            # Horner over descending powers: sum_i lam^i pts[i]
+            acc = pts[-1]
+            for p in reversed(pts[:-1]):
+                acc = ecc.add_incomplete(
+                    ctx,
+                    ecc.mul_var(ctx, acc, lam, self.mul_nbits),
+                    p,
+                )
+            return acc
+
+        rhss = [
+            ecc.add_incomplete(
+                ctx, ecc.add_incomplete(ctx, q.zw, q.f), q.e
+            )
+            for q in quads
+        ]
+        W = fold([q.w for q in quads])
+        RHS = fold(rhss)
+
+        # pin the folded pair against instance rows 40N..40N+15
+        from ..aggregation.chips import assign_point_from_instance
+
+        row = 40 * self.num_proofs
+        for pt in (W, RHS):
+            inp = assign_point_from_instance(
+                mg, ecc, ctx, cfg.instance_col, row, known=self.proofs is not None
+            )
+            row += 8
+            ecc.assert_equal(ctx, pt, inp)
+        return ctx, (quads, W, RHS)
+
+
+def fold_quads_host(efws):
+    """Host-side reference for the in-circuit fold: identical to
+    verifier_tpu.aggregate_quads' (W, RHS)."""
+    from ..oracle import curve as oc
+
+    lam = aggregate_lambda(efws)
+    W = None
+    RHS = None
+    lp = 1
+    for e, f, w, zw in efws:
+        rhs = oc.g1_add(oc.g1_add(zw, f), e)
+        W = oc.g1_add(W, oc.g1_mul(w, lp))
+        RHS = oc.g1_add(RHS, oc.g1_mul(rhs, lp))
+        lp = lp * lam % R
+    return W, RHS
+
+
+class SingleProofCircuit(AggregationCircuit):
+    """Reference-parity alias (simple-example.rs:445: num_proofs = 1)."""
+
+    def __init__(self, inner_vk, proof, num_proofs: int = 1, mul_nbits: int = 254):
+        proofs = None if proof is None else (
+            proof if isinstance(proof, list) else [proof] * num_proofs
         )
-        quad, _verdict = chip.verify_proof(ctx, cfg.instance_col)
-        return ctx, quad
+        super().__init__(inner_vk, proofs, num_proofs, mul_nbits)
+
+    @property
+    def proof(self):
+        return None if self.proofs is None else self.proofs[0]
+
+    def without_witnesses(self) -> "SingleProofCircuit":
+        return SingleProofCircuit(
+            self.inner_vk, None, self.num_proofs, self.mul_nbits
+        )
 
 
-def build(circuit: SingleProofCircuit, k: int, public_inputs=None):
+def build(circuit: AggregationCircuit, k: int, public_inputs=None):
     """configure + synthesize; returns (cs, cfg, assignment, ctx, quad)."""
     cs = ConstraintSystem()
     cfg = configure(cs)

@@ -1,0 +1,302 @@
+"""Pallas TPU kernel v2 for the hot EC path: VMEM-resident scalar-mul.
+
+Replaces the v1 kernel (field_pallas.py) whose (tile, 32) blocks put the
+32-limb axis on the 128-wide lane dimension — 75% of the VPU idle and a
+lane-rotation fixup per convolution shift (measured 995 scalar-muls/s,
+BELOW the XLA scan's 2.9K/s).  v2 transposes the layout:
+
+    (LIMBS, T): limbs on sublanes, batch lanes on the 128-lane axis.
+
+Every field op then runs on fully-populated vregs, and the convolution's
+pad-shifts move along sublanes (cheap vreg-row offsets).  Two more wins
+over v1, both classic redundant-Montgomery tricks:
+
+  * values live in [0, 2p) — mont_mul output is < 2p whenever the input
+    value-bound product c1*c2 <= 5 (here always 4), so the conditional
+    subtraction v1 paid on EVERY op happens only in add/sub;
+  * the exact carry+lookahead runs once per mont_mul; the two inner
+    convolution operands are only RELAXED (2 rounds of partial carry,
+    limbs <= 287 < 2^9, conv terms < 2^21.3 — no int32 overflow).
+
+Zero-checks use mod-p semantics (v == 0 or v == p) because [0, 2p)
+admits two representatives of 0̄ — the h/r equality and infinity tests in
+jac_add would otherwise mistake a p-representative for nonzero.
+
+Cited reference cost center: `/root/reference/src/multiopen.rs:393`'s
+mul_var ladder — this kernel is its batched device replacement inside
+verify_algebra_fast.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..fields import LIMB_BITS, NLIMBS, Q
+from .field_ops import FQ
+
+_MASK = (1 << LIMB_BITS) - 1
+
+# constant indices into the fc (field-constant) tuple
+_P, _PINV, _TWOP, _COMP2P, _ONE = range(5)
+
+
+def _ints_to_cols(x: int, nlimbs: int) -> np.ndarray:
+    return np.array(
+        [(x >> (LIMB_BITS * i)) & _MASK for i in range(nlimbs)], np.int32
+    )
+
+
+def _shift_dn(e, k=1):
+    """Shift limbs toward higher index along the sublane (limb) axis."""
+    return jnp.pad(e, [(k, 0)] + [(0, 0)] * (e.ndim - 1))[: e.shape[0]]
+
+
+def _relax(x, rounds):
+    """Partial carry: after r rounds limbs <= 255 + max_in >> (8*r).
+    Carry out of the top limb is dropped (callers rely on mod-2^256
+    semantics or have headroom)."""
+    for _ in range(rounds):
+        x = (x & _MASK) + _shift_dn(x >> LIMB_BITS)
+    return x
+
+
+def _carry(x, n_out):
+    """Exact carry propagation (non-negative cols < 2^30) -> canonical
+    limbs of value mod 2^(8*n_out); Kogge-Stone lookahead along sublanes."""
+    k = x.shape[0]
+    if k < n_out:
+        x = jnp.pad(x, [(0, n_out - k)] + [(0, 0)] * (x.ndim - 1))
+    elif k > n_out:
+        x = x[:n_out]
+    for _ in range(4):
+        x = (x & _MASK) + _shift_dn(x >> LIMB_BITS)
+    s = (x & _MASK) + _shift_dn(x >> LIMB_BITS)  # cols in [0, 256]
+    g = s >> LIMB_BITS
+    p = (s == _MASK).astype(x.dtype)
+    shift = 1
+    while shift < n_out:
+        gs = jnp.pad(g, [(shift, 0)] + [(0, 0)] * (g.ndim - 1))[:n_out]
+        ps = jnp.pad(p, [(shift, 0)] + [(0, 0)] * (p.ndim - 1))[:n_out]
+        g = g | (p & gs)
+        p = p & ps
+        shift *= 2
+    return (s + _shift_dn(g)) & _MASK
+
+
+def _conv(a, b, n_out):
+    """Limb convolution along sublanes: out[k] = sum_{i+j=k} a[i]*b[j],
+    truncated to n_out columns (n_out=32 is the mod-2^256 low half)."""
+    t = b.shape[-1]
+    out = jnp.zeros((n_out, t), jnp.int32)
+    for i in range(NLIMBS):
+        prod = a[i : i + 1, :] * b  # (32, T) via sublane broadcast
+        take = min(NLIMBS, n_out - i)
+        if take <= 0:
+            break
+        out = out + jnp.pad(
+            prod[:take], [(i, n_out - i - take), (0, 0)]
+        )
+        del prod
+    return out
+
+
+def _mont_mul(fc, a, b):
+    """a, b canonical 8-bit limbs, values < 2p each -> < 2p."""
+    t = _conv(a, b, 2 * NLIMBS)  # cols < 2^21
+    tl = _relax(t[:NLIMBS], 2)  # <= 287, value mod 2^256 preserved
+    m = _relax(_conv(tl, fc[_PINV], NLIMBS), 2)
+    u = _conv(m, fc[_P], 2 * NLIMBS)
+    s = _carry(t + u, 2 * NLIMBS)
+    return s[NLIMBS:]
+
+
+def _cond_sub(fc_comp, a):
+    """a (32, T) canonical limbs, value < 2M; subtract M when a >= M.
+    fc_comp = limbs of 2^256 - M."""
+    s = _carry(a + fc_comp, NLIMBS + 1)
+    ge = s[NLIMBS:].astype(bool)  # (1, T)
+    return jnp.where(ge, s[:NLIMBS], a)
+
+
+def _add(fc, a, b):
+    t = _carry(a + b, NLIMBS)  # value < 4p < 2^256
+    return _cond_sub(fc[_COMP2P], t)
+
+
+def _sub(fc, a, b):
+    # a - b + 2p (+ 2^256, dropped by the mod-2^256 carry)
+    one_hot0 = (
+        lax.broadcasted_iota(jnp.int32, (NLIMBS, 1), 0) == 0
+    ).astype(jnp.int32)
+    t = a + fc[_TWOP] + (_MASK - b) + one_hot0
+    return _cond_sub(fc[_COMP2P], _carry(t, NLIMBS))
+
+
+def _is_zero(fc, a):
+    """v == 0̄ (mod p) for v in [0, 2p): v == 0 or v == p.  (1, T) bool."""
+    eq0 = jnp.all(a == 0, axis=0, keepdims=True)
+    eqp = jnp.all(a == fc[_P], axis=0, keepdims=True)
+    return eq0 | eqp
+
+
+def _sel(mask, a, b):
+    """mask (1, T) bool, sublane-broadcast select."""
+    return jnp.where(mask, a, b)
+
+
+def _jac_double(fc, x, y, z):
+    A = _mont_mul(fc, x, x)
+    Bb = _mont_mul(fc, y, y)
+    C = _mont_mul(fc, Bb, Bb)
+    t = _add(fc, x, Bb)
+    t = _mont_mul(fc, t, t)
+    D = _sub(fc, _sub(fc, t, A), C)
+    D = _add(fc, D, D)
+    E = _add(fc, _add(fc, A, A), A)
+    F = _mont_mul(fc, E, E)
+    x3 = _sub(fc, F, _add(fc, D, D))
+    c8 = _add(fc, C, C)
+    c8 = _add(fc, c8, c8)
+    c8 = _add(fc, c8, c8)
+    y3 = _sub(fc, _mont_mul(fc, E, _sub(fc, D, x3)), c8)
+    z3 = _mont_mul(fc, _add(fc, y, y), z)
+    return x3, y3, z3
+
+
+def _jac_add(fc, x1, y1, z1, x2, y2, z2):
+    z1z1 = _mont_mul(fc, z1, z1)
+    z2z2 = _mont_mul(fc, z2, z2)
+    u1 = _mont_mul(fc, x1, z2z2)
+    u2 = _mont_mul(fc, x2, z1z1)
+    s1 = _mont_mul(fc, y1, _mont_mul(fc, z2, z2z2))
+    s2 = _mont_mul(fc, y2, _mont_mul(fc, z1, z1z1))
+    h = _sub(fc, u2, u1)
+    r = _sub(fc, s2, s1)
+    h2 = _mont_mul(fc, h, h)
+    h3 = _mont_mul(fc, h2, h)
+    u1h2 = _mont_mul(fc, u1, h2)
+    x3 = _sub(fc, _sub(fc, _mont_mul(fc, r, r), h3), _add(fc, u1h2, u1h2))
+    y3 = _sub(fc, _mont_mul(fc, r, _sub(fc, u1h2, x3)), _mont_mul(fc, s1, h3))
+    z3 = _mont_mul(fc, _mont_mul(fc, z1, z2), h)
+
+    p_inf = _is_zero(fc, z1)
+    q_inf = _is_zero(fc, z2)
+    h0 = _is_zero(fc, h)
+    r0 = _is_zero(fc, r)
+    dbl = _jac_double(fc, x1, y1, z1)
+    use_dbl = (~p_inf) & (~q_inf) & h0 & r0
+    x3 = _sel(use_dbl, dbl[0], x3)
+    y3 = _sel(use_dbl, dbl[1], y3)
+    z3 = _sel(use_dbl, dbl[2], z3)
+    x3 = _sel(q_inf, x1, _sel(p_inf, x2, x3))
+    y3 = _sel(q_inf, y1, _sel(p_inf, y2, y3))
+    z3 = _sel(q_inf, z1, _sel(p_inf, z2, z3))
+    return x3, y3, z3
+
+
+def _ladder_kernel(nbits, p_ref, pinv_ref, twop_ref, comp2p_ref, one_ref,
+                   px_ref, py_ref, pz_ref, s_ref,
+                   ox_ref, oy_ref, oz_ref):
+    fc = (p_ref[:], pinv_ref[:], twop_ref[:], comp2p_ref[:], one_ref[:])
+    px, py, pz = px_ref[:], py_ref[:], pz_ref[:]
+    s = s_ref[:]
+    t = px.shape[1]
+    one = fc[_ONE]
+    acc_x = jnp.zeros((NLIMBS, t), jnp.int32) + one
+    acc_y = acc_x
+    acc_z = jnp.zeros((NLIMBS, t), jnp.int32)
+
+    limb_ids = lax.broadcasted_iota(jnp.int32, (NLIMBS, 1), 0)
+
+    def body(i, carry):
+        ax, ay, az = carry
+        bit_idx = nbits - 1 - i
+        limb = bit_idx // LIMB_BITS
+        off = bit_idx % LIMB_BITS
+        # no dynamic sublane slicing in Mosaic: mask + reduce instead
+        limb_val = jnp.sum(
+            jnp.where(limb_ids == limb, s, 0), axis=0, keepdims=True
+        )
+        take = ((limb_val >> off) & 1).astype(bool)  # (1, T)
+        ax, ay, az = _jac_double(fc, ax, ay, az)
+        nx, ny, nz = _jac_add(fc, ax, ay, az, px, py, pz)
+        ax = _sel(take, nx, ax)
+        ay = _sel(take, ny, ay)
+        az = _sel(take, nz, az)
+        return ax, ay, az
+
+    acc_x, acc_y, acc_z = lax.fori_loop(0, nbits, body, (acc_x, acc_y, acc_z))
+    ox_ref[:] = acc_x
+    oy_ref[:] = acc_y
+    oz_ref[:] = acc_z
+
+
+def _final_kernel(comp_p_ref, x_ref, o_ref):
+    """[0,2p) -> [0,p) canonicalization as a tiny second kernel, so host
+    decode and XLA-op consumers agree bit-for-bit with the scan path."""
+    o_ref[:] = _cond_sub(comp_p_ref[:], x_ref[:])
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def scalar_mul_pallas2(points_jac, scalars, nbits=254, tile=128, interpret=False):
+    """Batched Jacobian scalar-mul, transposed-layout VMEM kernel.
+
+    points_jac: curve_ops.JacPoint with (N, 32) mont coords; scalars
+    (N, 32) plain limbs; N a multiple of `tile`.  Output coords are
+    canonical [0, p), bit-identical to curve_ops.scalar_mul."""
+    from .curve_ops import JacPoint
+
+    n = points_jac.x.shape[0]
+    assert n % tile == 0
+    grid = (n // tile,)
+
+    def tconst(vals32):
+        return jnp.asarray(
+            np.tile(np.asarray(vals32, np.int32).reshape(NLIMBS, 1), (1, tile))
+        )
+
+    p_int = Q
+    consts = [
+        tconst(FQ.p_limbs),
+        tconst(FQ.p_inv_neg),
+        tconst(_ints_to_cols(2 * p_int, NLIMBS)),
+        tconst(_ints_to_cols((1 << 256) - 2 * p_int, NLIMBS)),
+        tconst(FQ.one_mont),
+    ]
+    comp_p = tconst(_ints_to_cols((1 << 256) - p_int, NLIMBS))
+
+    bs = lambda: pl.BlockSpec(
+        (NLIMBS, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    cs_spec = lambda: pl.BlockSpec(
+        (NLIMBS, tile), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+
+    tr = lambda a: a.T  # (N, 32) -> (32, N)
+    out = pl.pallas_call(
+        functools.partial(_ladder_kernel, nbits),
+        grid=grid,
+        in_specs=[cs_spec() for _ in range(5)] + [bs() for _ in range(4)],
+        out_specs=(bs(), bs(), bs()),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((NLIMBS, n), jnp.int32) for _ in range(3)
+        ),
+        interpret=interpret,
+    )(*consts, tr(points_jac.x), tr(points_jac.y), tr(points_jac.z), tr(scalars))
+
+    canon = lambda a: pl.pallas_call(
+        _final_kernel,
+        grid=grid,
+        in_specs=[cs_spec(), bs()],
+        out_specs=bs(),
+        out_shape=jax.ShapeDtypeStruct((NLIMBS, n), jnp.int32),
+        interpret=interpret,
+    )(comp_p, a)
+    return JacPoint(*(canon(c).T for c in out))

@@ -202,15 +202,21 @@ def _scalar_mul_kernel(nbits, p_ref, pinv_ref, comp_ref, one_ref, px_ref, py_ref
 
 def scalar_mul_auto(points_jac, scalars, nbits=254):
     """Dispatch a batched Jacobian scalar-mul to the best backend for the
-    current platform: the VMEM-resident Pallas ladder on TPU, the XLA scan
-    elsewhere (CPU tests; Mosaic interpret mode would be far slower).
+    current platform: the VMEM-resident transposed-layout Pallas ladder
+    (ops/ec_pallas.py) on TPU, the XLA scan elsewhere (CPU tests; Mosaic
+    interpret mode would be far slower).  H2A_PALLAS_EC=0 forces the scan.
 
     Accepts any leading batch shape (..., 32); pads the flattened lane
     count to a tile multiple with identity points (identity is absorbing
     under the kernel's branchless jac_add, so padding lanes are inert)."""
+    import os
+
     from .curve_ops import JacPoint, scalar_mul
 
-    if jax.default_backend() not in ("tpu", "axon"):
+    on_tpu = any(
+        k in jax.default_backend().lower() for k in ("tpu", "axon")
+    ) or jax.devices()[0].platform.lower() in ("tpu", "axon")
+    if not on_tpu or os.environ.get("H2A_PALLAS_EC", "1") != "1":
         return scalar_mul(points_jac, scalars, nbits)
 
     lead = points_jac.x.shape[:-1]
@@ -237,12 +243,14 @@ def scalar_mul_auto(points_jac, scalars, nbits=254):
         padded(points_jac.z, zero),
     )
     s = padded(scalars, zero)
-    out = scalar_mul_pallas(P, s, nbits, tile, False)
+    from .ec_pallas import scalar_mul_pallas2
+
+    out = scalar_mul_pallas2(P, s, nbits, tile, False)
     unflat = lambda a: a[:n].reshape(*lead, NLIMBS)
     return JacPoint(unflat(out.x), unflat(out.y), unflat(out.z))
 
 
-PALLAS_TILE = 256
+PALLAS_TILE = 128
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))

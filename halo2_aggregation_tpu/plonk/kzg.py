@@ -132,14 +132,23 @@ class Params:
         import jax.numpy as jnp
 
         from ..ops import curve_ops as co
+        from ..ops import field_ops as fo
         from ..ops import msm as msm_mod
-        from ..ops.limbs import ints_to_limbs
+        from ..utils.u64 import u64_to_limbs8
 
         if self._device_points is None:
-            self._device_points = co.affine_from_ints(self.g_lagrange)
+            # SRS points stay device-resident across commits: vectorized
+            # u64 -> 8-bit-limb ingest + on-device Montgomery encode
+            xs = jnp.asarray(u64_to_limbs8(self.g_lagrange_u64[:, :4]))
+            ys = jnp.asarray(u64_to_limbs8(self.g_lagrange_u64[:, 4:]))
+            self._device_points = co.AffinePoint(
+                fo.to_mont(xs, fo.FQ),
+                fo.to_mont(ys, fo.FQ),
+                jnp.asarray(self.g_lagrange_inf.astype(bool)),
+            )
         res = msm_mod.msm(
             self._device_points,
-            jnp.asarray(ints_to_limbs(u64_to_ints(scalars_u64))),
+            jnp.asarray(u64_to_limbs8(scalars_u64)),
             nbits=254,
         )
         return co.jac_to_ints(co.JacPoint(res.x[None], res.y[None], res.z[None]))[0]

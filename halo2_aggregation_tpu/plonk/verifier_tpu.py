@@ -159,9 +159,12 @@ def batch_proofs(vk: VerifyingKey, parsed: List[ParsedProof]) -> VerifierBatch:
 
 def _ec_mul_mont(point: co.JacPoint, scalar_mont):
     """Scalar mul where the scalar arrives in Montgomery form: decode to
-    plain limbs on device, then 254-bit double-and-add."""
+    plain limbs on device, then 254-bit double-and-add (Pallas ladder on
+    TPU, XLA scan elsewhere)."""
+    from ..ops.field_pallas import scalar_mul_auto
+
     plain = fo.from_mont(scalar_mont, FR)
-    return co.scalar_mul(point, plain, 254)
+    return scalar_mul_auto(point, plain, 254)
 
 
 def field_algebra(vk: VerifyingKey, b: VerifierBatch, batch: int):
@@ -466,47 +469,81 @@ def _multiopen_coefficients(vk: VerifyingKey, p: ParsedProof):
     }
 
 
-def verify_algebra_fast(
-    vk: VerifyingKey, b: VerifierBatch, parsed: List[ParsedProof]
-):
-    """Production path: device field algebra for h_eval + ONE batched
-    double-and-add over all (B, M) multiopen lanes, instead of ~30
-    sequential EC fold scans.  Produces the identical quad."""
+def fast_prep(vk: VerifyingKey, parsed: List[ParsedProof], lane_pad: int = 1):
+    """Host half of the production path: expand the GWC folds into one
+    (B, M) lane array of (point, scalar) pairs (+ the h_eval linear data).
+    `lane_pad` pads M up to a multiple (identity points, zero scalars) so
+    the lane axis can shard evenly over an `mp` mesh axis."""
     B = len(parsed)
-    h_eval, _, _ = field_algebra(vk, b, B)
-
     coeffs = [_multiopen_coefficients(vk, p) for p in parsed]
-    comp_points = {}
-    comp_scalars = {}
-    for name in ("w", "zw", "f"):
+    names = ("w", "zw", "f")
+    ms = []
+    pts_cat, ss_cat = [], []
+    for name in names:
         pts = [[pt for pt, s in c[name]] for c in coeffs]
         ss = [[s for pt, s in c[name]] for c in coeffs]
         m = len(pts[0])
-        flat_pts = [pt for row in pts for pt in row]
-        aff = co.affine_from_ints(flat_pts)
-        comp_points[name] = co.affine_to_jac(
-            co.AffinePoint(
-                aff.x.reshape(B, m, fo.NLIMBS),
-                aff.y.reshape(B, m, fo.NLIMBS),
-                aff.inf.reshape(B, m),
-            )
+        pad = (-m) % lane_pad
+        ms.append(m + pad)
+        for row_p, row_s in zip(pts, ss):
+            row_p.extend([None] * pad)
+            row_s.extend([0] * pad)
+        pts_cat.append(pts)
+        ss_cat.append(ss)
+    m_tot = sum(ms)
+    flat_pts = [
+        pt for b_i in range(B) for comp in pts_cat for pt in comp[b_i]
+    ]
+    flat_ss = [s for b_i in range(B) for comp in ss_cat for s in comp[b_i]]
+    aff = co.affine_from_ints(flat_pts)
+    lane_pts = co.affine_to_jac(
+        co.AffinePoint(
+            aff.x.reshape(B, m_tot, fo.NLIMBS),
+            aff.y.reshape(B, m_tot, fo.NLIMBS),
+            aff.inf.reshape(B, m_tot),
         )
-        comp_scalars[name] = jnp.asarray(
-            np.stack([ints_to_limbs(row) for row in ss])
-        )
+    )
+    lane_scalars = jnp.asarray(
+        np.asarray(ints_to_limbs(flat_ss)).reshape(B, m_tot, fo.NLIMBS)
+    )
+    h_coeff_mont = jnp.asarray(FR.to_mont_array([c["h_coeff"] for c in coeffs]))
+    known_mont = jnp.asarray(FR.to_mont_array([c["eval_known"] for c in coeffs]))
+    return lane_pts, lane_scalars, tuple(ms), h_coeff_mont, known_mont
 
-    # per-lane scalar mul: one shared 254-step scan over every component
+
+def fast_device(
+    vk: VerifyingKey,
+    b: VerifierBatch,
+    B: int,
+    ms: tuple,
+    lane_pts: co.JacPoint,
+    lane_scalars,
+    h_coeff_mont,
+    known_mont,
+):
+    """Device half (jittable, shardable: B over `dp`, lanes over `mp`):
+    field algebra for h_eval + ONE batched ladder over every multiopen
+    lane, then per-component tree sums."""
+    from ..ops.field_pallas import scalar_mul_auto
+
+    h_eval, _, _ = field_algebra(vk, b, B)
+    per_all = scalar_mul_auto(lane_pts, lane_scalars, 254)
+
     quads = {}
-    for name in ("w", "zw", "f"):
-        per = co.scalar_mul(comp_points[name], comp_scalars[name], 254)
+    off = 0
+    for name, m in zip(("w", "zw", "f"), ms):
+        per = co.JacPoint(
+            per_all.x[:, off : off + m],
+            per_all.y[:, off : off + m],
+            per_all.z[:, off : off + m],
+        )
+        off += m
         trans = co.JacPoint(
             jnp.moveaxis(per.x, 1, 0), jnp.moveaxis(per.y, 1, 0), jnp.moveaxis(per.z, 1, 0)
         )
         quads[name] = co.jac_sum(trans)
 
     # e = -(eval_known + h_coeff * h_eval) * G1
-    h_coeff_mont = jnp.asarray(FR.to_mont_array([c["h_coeff"] for c in coeffs]))
-    known_mont = jnp.asarray(FR.to_mont_array([c["eval_known"] for c in coeffs]))
     eval_multi = fo.add(
         fo.mont_mul(h_coeff_mont, h_eval, FR), known_mont, FR
     )
@@ -514,6 +551,19 @@ def verify_algebra_fast(
     quads["e"] = _ec_mul_mont(g1, fo.neg(eval_multi, FR))
     quads["h_eval"] = h_eval
     return quads
+
+
+def verify_algebra_fast(
+    vk: VerifyingKey, b: VerifierBatch, parsed: List[ParsedProof]
+):
+    """Production path: device field algebra for h_eval + ONE batched
+    double-and-add over all (B, M) multiopen lanes, instead of ~30
+    sequential EC fold scans.  Produces the identical quad."""
+    B = len(parsed)
+    lane_pts, lane_scalars, ms, h_coeff_mont, known_mont = fast_prep(vk, parsed)
+    return fast_device(
+        vk, b, B, ms, lane_pts, lane_scalars, h_coeff_mont, known_mont
+    )
 
 
 def synthetic_batch(vk: VerifyingKey, B: int, seed: int = 0) -> VerifierBatch:

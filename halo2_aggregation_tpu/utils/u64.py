@@ -65,3 +65,16 @@ def u64_to_points(arr, infs) -> list:
     return [
         None if i else (x, y) for x, y, i in zip(xs, ys, np.asarray(infs))
     ]
+
+
+def u64_to_limbs8(arr: np.ndarray) -> np.ndarray:
+    """(n, 4) uint64 -> (n, 32) int32 8-bit limbs, zero-copy byte view
+    (little-endian throughout) — the device-MSM ingest path."""
+    a = np.ascontiguousarray(arr, dtype="<u8")
+    return a.view(np.uint8).reshape(a.shape[0], 32).astype(np.int32)
+
+
+def limbs8_to_u64(limbs: np.ndarray) -> np.ndarray:
+    """(n, 32) int32 8-bit limbs -> (n, 4) uint64."""
+    b = np.asarray(limbs, dtype=np.int32).astype(np.uint8)
+    return b.reshape(b.shape[0], 32).view("<u8").astype(np.uint64)

@@ -1,0 +1,58 @@
+"""Device bucket MSM (ops/msm.py) vs the host oracle."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from halo2_aggregation_tpu.fields import R
+from halo2_aggregation_tpu.ops import curve_ops as co
+from halo2_aggregation_tpu.ops import msm as msm_mod
+from halo2_aggregation_tpu.oracle import curve as oc
+from halo2_aggregation_tpu.utils import native
+from halo2_aggregation_tpu.utils.u64 import ints_to_u64, u64_to_limbs8
+
+RNG = np.random.default_rng(11)
+
+
+def _random_points(n):
+    """n distinct points via the native windowed fixed-base kernel."""
+    base = oc.g1_generator()
+    ks = [int(RNG.integers(1, 1 << 62)) for _ in range(n)]
+    if native.available():
+        base_u64 = ints_to_u64([base[0], base[1]]).reshape(-1)
+        aff, inf = native.g1_batch_mul_win(base_u64, ints_to_u64(ks))
+        from halo2_aggregation_tpu.utils.u64 import u64_to_points
+
+        return u64_to_points(aff, inf)
+    return [oc.g1_mul(base, k) for k in ks]
+
+
+def _oracle_msm(pts, ss):
+    return oc.g1_msm(pts, ss)
+
+
+def test_bucket_msm_small_matches_oracle():
+    n = 512
+    pts = _random_points(n - 2) + [None, oc.g1_generator()]
+    ss = [int.from_bytes(RNG.bytes(40), "little") % R for _ in range(n - 1)]
+    ss.append(0)  # zero scalar lane
+    aff = co.affine_from_ints(pts)
+    got = msm_mod.msm_bucket(aff, jnp.asarray(u64_to_limbs8(ints_to_u64(ss))), 254)
+    got_int = co.jac_to_ints(co.JacPoint(got.x[None], got.y[None], got.z[None]))[0]
+    assert got_int == _oracle_msm(pts, ss)
+
+
+@pytest.mark.slow
+def test_bucket_msm_large_matches_oracle():
+    n = 1 << 15  # crosses the msm() bucket threshold
+    pts = _random_points(n)
+    ss = [int.from_bytes(RNG.bytes(40), "little") % R for _ in range(n)]
+    aff = co.affine_from_ints(pts)
+    got = msm_mod.msm(aff, jnp.asarray(u64_to_limbs8(ints_to_u64(ss))), 254)
+    got_int = co.jac_to_ints(co.JacPoint(got.x[None], got.y[None], got.z[None]))[0]
+    # oracle via the (independently tested) native Pippenger
+    want = (
+        native.g1_msm(pts, ss) if native.available() else _oracle_msm(pts, ss)
+    )
+    assert got_int == want
