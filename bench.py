@@ -119,7 +119,14 @@ def main():
 
     full_aggregate_once()  # warmup + compile
     agg_rate, agg_t = median_rate(full_aggregate_once, B, trials=3)
-    full_aggregate_once(record=True)
+    # profiler capture (SURVEY §5 tracing row): H2A_PROFILE=<dir> records a
+    # jax.profiler trace of one end-to-end aggregation for TensorBoard
+    prof_dir = os.environ.get("H2A_PROFILE")
+    if prof_dir:
+        with jax.profiler.trace(prof_dir):
+            full_aggregate_once(record=True)
+    else:
+        full_aggregate_once(record=True)
 
     # --- device verification algebra alone --------------------------------
     parsed = [parse_proof(vk, protos[i % 4][2], protos[i % 4][1]) for i in range(B)]
@@ -136,7 +143,7 @@ def main():
     tpu_rate, _ = median_rate(algebra_once, B, trials=3)
 
     # --- EC ladder diagnostic: the Pallas kernel's scalar-mul rate --------
-    from halo2_aggregation_tpu.ops.field_pallas import scalar_mul_auto
+    from halo2_aggregation_tpu.ops.ec_pallas import scalar_mul_auto
 
     n_lanes = int(lanes[0].x.shape[0] * lanes[0].x.shape[1])
 
@@ -146,6 +153,44 @@ def main():
 
     ladder_once()
     ladder_rate, _ = median_rate(ladder_once, n_lanes, trials=3)
+
+    # --- device bucket MSM (ops/msm.py): Mpoint-adds/s/chip ---------------
+    # 2^n_msm random points x 254-bit scalars; algorithmic add count for
+    # the sort+segmented-scan formulation is ~2N per 8-bit window.
+    from halo2_aggregation_tpu.ops import msm as msm_mod
+    from halo2_aggregation_tpu.oracle import curve as oc_
+    from halo2_aggregation_tpu.utils import native as native_
+    from halo2_aggregation_tpu.utils.u64 import ints_to_u64, u64_to_limbs8
+
+    n_msm = 1 << int(os.environ.get("H2A_BENCH_MSM_LOG2", "14"))
+    base = oc_.g1_generator()
+    base_u64 = ints_to_u64([base[0], base[1]]).reshape(-1)
+    msm_rng = np.random.default_rng(5)
+    msm_ks = ints_to_u64(
+        [int(msm_rng.integers(1, 1 << 62)) for _ in range(n_msm)]
+    )
+    aff_u64, inf_u64 = native_.g1_batch_mul_win(base_u64, msm_ks)
+    msm_pts = co.AffinePoint(
+        jnp.asarray(fo.to_mont(jnp.asarray(u64_to_limbs8(aff_u64[:, :4])), fo.FQ)),
+        jnp.asarray(fo.to_mont(jnp.asarray(u64_to_limbs8(aff_u64[:, 4:])), fo.FQ)),
+        jnp.asarray(inf_u64.astype(bool)),
+    )
+    msm_ss = jnp.asarray(
+        u64_to_limbs8(
+            ints_to_u64(
+                [int.from_bytes(msm_rng.bytes(31), "little") for _ in range(n_msm)]
+            )
+        )
+    )
+
+    def msm_once():
+        r = msm_mod.msm_bucket(msm_pts, msm_ss, 254)
+        np.asarray(r.x)
+
+    msm_once()  # warmup/compile
+    windows = 32
+    msm_adds = 2 * n_msm * windows
+    msm_rate, msm_t = median_rate(msm_once, msm_adds, trials=2)
 
     # --- host baseline: same algebra, single thread, python ints ----------
     pub, proof = protos[0][0], protos[0][1]
@@ -217,6 +262,9 @@ def main():
                     "pallas_scalar_muls_per_s": round(ladder_rate, 1),
                     "multiopen_lanes": n_lanes,
                     "host_algebra_proofs_per_s": round(host_rate, 3),
+                    "msm_mpoint_adds_per_s_per_chip": round(msm_rate / 1e6, 3),
+                    "msm_n_points": n_msm,
+                    "msm_wall_s": round(msm_t, 3),
                     "native_pairing_s": round(pairing_t, 3),
                     "fr_mont_mul_per_s": round(fmul_rate, 1),
                     "fr_mont_mul_roofline_frac": round(roofline_frac, 4),

@@ -29,6 +29,18 @@ def main():
     from halo2_aggregation_tpu.plonk.mock import mock_verify_fast
     from halo2_aggregation_tpu.plonk.prover import create_proof
     from halo2_aggregation_tpu.plonk.verifier import verify_proof
+    from halo2_aggregation_tpu.utils.transcript import (
+        Blake2bRead,
+        Blake2bWrite,
+        PoseidonRead,
+        PoseidonWrite,
+    )
+
+    # H2A_CONSTRAINED_FS=1: Poseidon transcript end to end, with challenge
+    # derivation ENFORCED in-circuit (our upgrade over transcript.rs:62-65)
+    cfs = os.environ.get("H2A_CONSTRAINED_FS", "0") == "1"
+    t_write = PoseidonWrite if cfs else Blake2bWrite
+    t_read = PoseidonRead if cfs else Blake2bRead
 
     # --- Phase A: inner proof (simple-example.rs:560-644) ------------------
     k = 9
@@ -44,16 +56,16 @@ def main():
     assert mock_verify_fast(cs_w, asg_w) == []
     print(f"inner mock prover succeeded ({time.time()-t0:.1f}s)")
 
-    proof = create_proof(params, pk, asg, [pub], seed=42)
+    proof = create_proof(params, pk, asg, [pub], seed=42, transcript_cls=t_write)
     print(f"proof size is {len(proof)} bytes")
-    ok, efw = verify_proof(params, vk, [pub], proof)
+    ok, efw = verify_proof(params, vk, [pub], proof, transcript_cls=t_read)
     assert ok
-    print("simple-circuit proof valid!")
+    print(f"simple-circuit proof valid! (transcript: {t_write.__name__})")
     inst_comm = params.commit_lagrange(pub)
 
     # --- Phase B: outer circuit (simple-example.rs:645-672) ----------------
     outer_k = int(os.environ.get("H2A_OUTER_K", "23"))
-    outer = ac.SingleProofCircuit(vk, proof)
+    outer = ac.SingleProofCircuit(vk, proof, constrained_fs=cfs)
     public_inputs = outer.public_inputs(inst_comm, efw)
     print(f"outer public inputs: {len(public_inputs)} scalars")
 

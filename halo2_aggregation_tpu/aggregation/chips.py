@@ -96,6 +96,44 @@ class TranscriptChip:
         return self.mg.assign_value(ctx, c)
 
 
+class PoseidonTranscriptChip:
+    """CONSTRAINED in-circuit Fiat-Shamir — the soundness upgrade over the
+    reference's witness-only chip (transcript.rs:62-65): absorbs the
+    assigned CELLS (strict-reduced coordinates, so the absorbed limbs are
+    the unique canonical encoding) into a Poseidon sponge gadget and
+    returns challenges as gadget-computed cells.  Challenge derivation is
+    thereby enforced by main-gate rows; a prover cannot pick challenges
+    independently of the absorbed commitments.
+
+    Pairs with utils.transcript.PoseidonRead on the host side (identical
+    absorb order and values — the quad-parity tests pin it)."""
+
+    def __init__(self, mg: MainGate, ic):
+        self.mg = mg
+        self.ic = ic
+        self._sponge = None
+
+    def _sp(self, ctx):
+        if self._sponge is None:
+            from .gadgets.poseidon import PoseidonSpongeChip
+
+            self._sponge = PoseidonSpongeChip(self.mg, ctx)
+        return self._sponge
+
+    def common_scalar(self, ctx, av: AssignedValue):
+        self._sp(ctx).absorb(av)
+
+    def common_point(self, ctx, pt: AssignedPoint):
+        sp = self._sp(ctx)
+        for coord in (pt.x, pt.y):
+            canon = self.ic.reduce_strict(ctx, coord)
+            for limb in canon.limbs:
+                sp.absorb(limb)
+
+    def squeeze_challenge_scalar(self, ctx) -> AssignedValue:
+        return self._sp(ctx).squeeze(ctx)
+
+
 def assign_point_from_instance(
     mg, ecc, ctx, instance_col, instance_row, known: bool
 ) -> "AssignedPoint":
@@ -135,13 +173,23 @@ class VerifierChip:
         inner_vk: VerifyingKey,
         transcript: Optional[Blake2bRead],
         mul_nbits: int = 254,
+        constrained_fs: bool = False,
     ):
         self.mg = mg
         self.ecc = ecc
         self.ic = ecc.ic
         self.vk = inner_vk
         self.transcript = transcript
-        self.tchip = TranscriptChip(mg)
+        # constrained_fs=True enforces challenge derivation in-circuit via
+        # the Poseidon sponge gadget (pair with a PoseidonRead transcript
+        # and a PoseidonWrite-produced inner proof); False mirrors the
+        # reference's unconstrained witness-only transcript.
+        self.constrained_fs = constrained_fs
+        self.tchip = (
+            PoseidonTranscriptChip(mg, ecc.ic)
+            if constrained_fs
+            else TranscriptChip(mg)
+        )
         self.mul_nbits = mul_nbits
 
     # ------------------------------------------------------------------

@@ -40,7 +40,7 @@ from ..aggregation.gadgets.range_chip import RangeChip
 from ..fields import R
 from ..plonk.circuit import Assignment, ConstraintSystem
 from ..plonk.keygen import VerifyingKey
-from ..utils.transcript import Blake2bRead
+from ..utils.transcript import Blake2bRead, PoseidonRead
 
 
 def point_to_scalars(p) -> List[int]:
@@ -95,6 +95,10 @@ class AggregationCircuit:
     proofs: Optional[List[bytes]]
     num_proofs: int = 1
     mul_nbits: int = 254
+    #: constrained Fiat-Shamir: challenges computed in-circuit by the
+    #: Poseidon sponge gadget (inner proofs must be PoseidonWrite-produced)
+    #: instead of witnessed unconstrained like the reference
+    constrained_fs: bool = False
 
     def __post_init__(self):
         if self.proofs is not None:
@@ -102,7 +106,11 @@ class AggregationCircuit:
 
     def without_witnesses(self) -> "AggregationCircuit":
         return AggregationCircuit(
-            self.inner_vk, None, self.num_proofs, self.mul_nbits
+            self.inner_vk,
+            None,
+            self.num_proofs,
+            self.mul_nbits,
+            self.constrained_fs,
         )
 
     def public_inputs(self, inst_comms, efws) -> List[int]:
@@ -125,12 +133,18 @@ class AggregationCircuit:
         ctx = Ctx(asg)
         ecc, mg = cfg.ecc, cfg.mg
         quads = []
+        reader = PoseidonRead if self.constrained_fs else Blake2bRead
         for i in range(self.num_proofs):
             transcript = (
-                None if self.proofs is None else Blake2bRead(self.proofs[i])
+                None if self.proofs is None else reader(self.proofs[i])
             )
             chip = VerifierChip(
-                mg, ecc, self.inner_vk, transcript, self.mul_nbits
+                mg,
+                ecc,
+                self.inner_vk,
+                transcript,
+                self.mul_nbits,
+                constrained_fs=self.constrained_fs,
             )
             quad, _verdict = chip.verify_proof(
                 ctx, cfg.instance_col, instance_offset=40 * i
@@ -202,11 +216,18 @@ def fold_quads_host(efws):
 class SingleProofCircuit(AggregationCircuit):
     """Reference-parity alias (simple-example.rs:445: num_proofs = 1)."""
 
-    def __init__(self, inner_vk, proof, num_proofs: int = 1, mul_nbits: int = 254):
+    def __init__(
+        self,
+        inner_vk,
+        proof,
+        num_proofs: int = 1,
+        mul_nbits: int = 254,
+        constrained_fs: bool = False,
+    ):
         proofs = None if proof is None else (
             proof if isinstance(proof, list) else [proof] * num_proofs
         )
-        super().__init__(inner_vk, proofs, num_proofs, mul_nbits)
+        super().__init__(inner_vk, proofs, num_proofs, mul_nbits, constrained_fs)
 
     @property
     def proof(self):
@@ -214,7 +235,11 @@ class SingleProofCircuit(AggregationCircuit):
 
     def without_witnesses(self) -> "SingleProofCircuit":
         return SingleProofCircuit(
-            self.inner_vk, None, self.num_proofs, self.mul_nbits
+            self.inner_vk,
+            None,
+            self.num_proofs,
+            self.mul_nbits,
+            self.constrained_fs,
         )
 
 

@@ -1,6 +1,6 @@
 """Pallas TPU kernel v2 for the hot EC path: VMEM-resident scalar-mul.
 
-Replaces the v1 kernel (field_pallas.py) whose (tile, 32) blocks put the
+Replaces the round-1 v1 kernel (removed) whose (tile, 32) blocks put the
 32-limb axis on the 128-wide lane dimension — 75% of the VPU idle and a
 lane-rotation fixup per convolution shift (measured 995 scalar-muls/s,
 BELOW the XLA scan's 2.9K/s).  v2 transposes the layout:
@@ -300,3 +300,54 @@ def scalar_mul_pallas2(points_jac, scalars, nbits=254, tile=128, interpret=False
         interpret=interpret,
     )(comp_p, a)
     return JacPoint(*(canon(c).T for c in out))
+
+
+def scalar_mul_auto(points_jac, scalars, nbits=254):
+    """Dispatch a batched Jacobian scalar-mul to the best backend for the
+    current platform: the VMEM-resident transposed-layout Pallas ladder
+    (ops/ec_pallas.py) on TPU, the XLA scan elsewhere (CPU tests; Mosaic
+    interpret mode would be far slower).  H2A_PALLAS_EC=0 forces the scan.
+
+    Accepts any leading batch shape (..., 32); pads the flattened lane
+    count to a tile multiple with identity points (identity is absorbing
+    under the kernel's branchless jac_add, so padding lanes are inert)."""
+    import os
+
+    from .curve_ops import JacPoint, scalar_mul
+
+    on_tpu = any(
+        k in jax.default_backend().lower() for k in ("tpu", "axon")
+    ) or jax.devices()[0].platform.lower() in ("tpu", "axon")
+    if not on_tpu or os.environ.get("H2A_PALLAS_EC", "1") != "1":
+        return scalar_mul(points_jac, scalars, nbits)
+
+    lead = points_jac.x.shape[:-1]
+    n = 1
+    for d in lead:
+        n *= d
+    tile = PALLAS_TILE
+    pad = (-n) % tile
+    flat = lambda a: a.reshape(n, NLIMBS)
+
+    def padded(a, fill):
+        a = flat(a)
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.broadcast_to(fill, (pad, NLIMBS)).astype(a.dtype)], 0
+            )
+        return a
+
+    one_mont = jnp.asarray(FQ.one_mont)
+    zero = jnp.zeros((NLIMBS,), jnp.int32)
+    P = JacPoint(
+        padded(points_jac.x, one_mont),
+        padded(points_jac.y, one_mont),
+        padded(points_jac.z, zero),
+    )
+    s = padded(scalars, zero)
+    out = scalar_mul_pallas2(P, s, nbits, tile, False)
+    unflat = lambda a: a[:n].reshape(*lead, NLIMBS)
+    return JacPoint(unflat(out.x), unflat(out.y), unflat(out.z))
+
+
+PALLAS_TILE = 128

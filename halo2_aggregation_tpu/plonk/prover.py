@@ -108,6 +108,7 @@ def create_proof(
     assignment: Assignment,
     instances,
     seed: int = 42,
+    transcript_cls=Blake2bWrite,
 ) -> bytes:
     cs = pk.vk.cs
     k = pk.vk.k
@@ -118,7 +119,7 @@ def create_proof(
     degree = cs.degree()
     chunk_len = degree - 2
     rng = np.random.default_rng(seed)
-    t = Blake2bWrite()
+    t = transcript_cls()
 
     # row-indexed powers of omega
     omega_pows = [1] * n

@@ -68,6 +68,7 @@ def create_proof_native(
     instances,
     seed: int = 42,
     progress=None,
+    transcript_cls=Blake2bWrite,
 ) -> bytes:
     if not native.available():
         raise RuntimeError("native engine unavailable; use prover.create_proof")
@@ -81,7 +82,7 @@ def create_proof_native(
     degree = cs.degree()
     chunk_len = degree - 2
     rng = np.random.default_rng(seed)
-    t = Blake2bWrite()
+    t = transcript_cls()
     ops = NativeVecOps()
     dom = NativeDomain(k)
     one_m = mont_scalar(1)

@@ -84,12 +84,14 @@ def num_perm_chunks(cs) -> int:
     return (len(cs.permutation_columns) + chunk_len - 1) // chunk_len
 
 
-def parse_proof(vk: VerifyingKey, inst_comms, proof: bytes) -> ParsedProof:
+def parse_proof(
+    vk: VerifyingKey, inst_comms, proof: bytes, transcript_cls=Blake2bRead
+) -> ParsedProof:
     """Replay the Fiat-Shamir transcript (steps 3-27 of SURVEY.md §3.2) and
     collect everything; host-only (hashing is inherently sequential)."""
     cs = vk.cs
     num_chunks = num_perm_chunks(cs)
-    t = Blake2bRead(proof)
+    t = transcript_cls(proof)
     t.common_scalar(vk.hash_scalar())
     for c in inst_comms:
         t.common_point(c)
@@ -164,6 +166,7 @@ def verify_proof(
     instances: List[List[int]],
     proof: bytes,
     return_trace: bool = False,
+    transcript_cls=Blake2bRead,
 ):
     cs = vk.cs
     n = vk.n
@@ -181,7 +184,7 @@ def verify_proof(
             raise ValueError("instance too large")
         inst_comms.append(params.commit_lagrange(col))
 
-    p = parse_proof(vk, inst_comms, proof)
+    p = parse_proof(vk, inst_comms, proof, transcript_cls)
     (theta, beta, gamma, y, x, v, u) = (
         p.theta,
         p.beta,

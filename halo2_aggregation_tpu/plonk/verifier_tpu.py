@@ -161,7 +161,7 @@ def _ec_mul_mont(point: co.JacPoint, scalar_mont):
     """Scalar mul where the scalar arrives in Montgomery form: decode to
     plain limbs on device, then 254-bit double-and-add (Pallas ladder on
     TPU, XLA scan elsewhere)."""
-    from ..ops.field_pallas import scalar_mul_auto
+    from ..ops.ec_pallas import scalar_mul_auto
 
     plain = fo.from_mont(scalar_mont, FR)
     return scalar_mul_auto(point, plain, 254)
@@ -524,7 +524,7 @@ def fast_device(
     """Device half (jittable, shardable: B over `dp`, lanes over `mp`):
     field algebra for h_eval + ONE batched ladder over every multiopen
     lane, then per-component tree sums."""
-    from ..ops.field_pallas import scalar_mul_auto
+    from ..ops.ec_pallas import scalar_mul_auto
 
     h_eval, _, _ = field_algebra(vk, b, B)
     per_all = scalar_mul_auto(lane_pts, lane_scalars, 254)
@@ -645,14 +645,25 @@ def aggregate_quads(quads, g1, s_g2, g2):
             h.update(g1_compress(p))
     lam = int.from_bytes(h.digest(), "little") % R
 
-    W = None
-    RHS = None
+    from ..utils import native
+
+    lams = []
     lp = 1
+    rhss = []
     for e, f, w, zw in quads:
-        rhs = oc.g1_add(oc.g1_add(zw, f), e)
-        W = oc.g1_add(W, oc.g1_mul(w, lp))
-        RHS = oc.g1_add(RHS, oc.g1_mul(rhs, lp))
+        rhss.append(oc.g1_add(oc.g1_add(zw, f), e))
+        lams.append(lp)
         lp = lp * lam % R
+    ws = [w for _, _, w, _ in quads]
+    if native.available():
+        W = native.g1_msm(ws, lams)
+        RHS = native.g1_msm(rhss, lams)
+    else:
+        W = None
+        RHS = None
+        for w, rhs, lp_i in zip(ws, rhss, lams):
+            W = oc.g1_add(W, oc.g1_mul(w, lp_i))
+            RHS = oc.g1_add(RHS, oc.g1_mul(rhs, lp_i))
     return (W, RHS), lam
 
 

@@ -111,3 +111,52 @@ class Blake2bRead(_TranscriptBase):
         s = fr_from_bytes(self._take(32))
         self.common_scalar(s)
         return s
+
+
+# ---------------------------------------------------------------------------
+# Poseidon transcript — the in-circuit-friendly variant
+# ---------------------------------------------------------------------------
+#
+# Same read/write framing as Blake2b (points compressed to 32 bytes,
+# scalars 32-byte LE in the proof stream), but challenges come from a
+# Poseidon sponge over Fr (oracle/poseidon.py), absorbing each point as
+# its 2x4 68-bit limbs and each scalar directly — EXACTLY the values the
+# constrained transcript chip (aggregation/gadgets/poseidon.py) sees as
+# cells, so the in-circuit challenge derivation can be enforced rather
+# than witnessed (closes /root/reference/src/transcript.rs:62-65's
+# documented soundness gap).
+
+
+class _PoseidonBase:
+    def __init__(self):
+        from ..oracle.poseidon import PoseidonSponge
+
+        self.sponge = PoseidonSponge()
+
+    def common_point(self, p):
+        if p is None:
+            raise ValueError("cannot absorb the identity point")
+        from ..aggregation.gadgets.integer import value_to_limbs
+
+        x, y = p
+        for v in value_to_limbs(x) + value_to_limbs(y):
+            self.sponge.absorb(v)
+
+    def common_scalar(self, s: int):
+        self.sponge.absorb(s % R)
+
+    def squeeze_challenge(self) -> int:
+        return self.sponge.squeeze()
+
+
+class PoseidonWrite(_PoseidonBase, Blake2bWrite):
+    def __init__(self):
+        _PoseidonBase.__init__(self)
+        self.buf = bytearray()
+
+
+class PoseidonRead(_PoseidonBase, Blake2bRead):
+    def __init__(self, proof: bytes):
+        _PoseidonBase.__init__(self)
+        self.proof = proof
+        self.off = 0

@@ -57,3 +57,106 @@ def test_in_circuit_verifier_quad_matches(inner_proof):
 
         failures = mock_verify_fast(cs, asg)
         assert failures == [], failures[:5]
+
+
+def test_fold_quads_host_matches_aggregate_quads(inner_proof):
+    """The circuit's host-side fold reference == verifier_tpu.aggregate_quads."""
+    from halo2_aggregation_tpu.models.aggregation_circuit import (
+        aggregate_lambda,
+        fold_quads_host,
+    )
+    from halo2_aggregation_tpu.plonk.verifier_tpu import aggregate_quads
+
+    params, vk, proof, pub, inst_comm, efw = inner_proof
+    quads = [tuple(efw), tuple(efw)]
+    (W, RHS), lam = aggregate_quads(quads, None, params.s_g2, params.g2)
+    W2, RHS2 = fold_quads_host(quads)
+    assert lam == aggregate_lambda(quads)
+    assert (W, RHS) == (W2, RHS2)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    os.environ.get("H2A_MULTIPROOF", "0") != "1",
+    reason="k=24 synthesis (~10 min, ~50GB); enable with H2A_MULTIPROOF=1",
+)
+def test_two_proof_aggregation_circuit(inner_proof):
+    """VERDICT r1 item 6 'done' criterion: a 2-proof outer circuit whose
+    two quads match the native verifier and whose in-circuit fold matches
+    aggregate_quads, with the documented instance layout.  Mock constraint
+    check included under H2A_FULL_MOCK=1."""
+    from halo2_aggregation_tpu.models.aggregation_circuit import (
+        AggregationCircuit,
+        fold_quads_host,
+    )
+    from halo2_aggregation_tpu.plonk.prover import create_proof as _cp
+
+    params, vk, proof, pub, inst_comm, efw = inner_proof
+    # second, distinct inner proof (re-keygen: the fixture keeps only vk)
+    circuit2 = se.MyCircuit(constant=7, a=4, b=5)
+    cs_e2, _, asg_e2 = se.build(circuit2.without_witnesses(), k=9)
+    _, pk2 = keygen(params, cs_e2, asg_e2)
+    _, _, asg2 = se.build(circuit2, k=9)
+    pub2 = [circuit2.public_output()]
+    proof2 = _cp(params, pk2, asg2, [pub2], seed=77)
+    ok2, efw2 = verify_proof(params, vk, [pub2], proof2)
+    assert ok2
+    inst_comm2 = params.commit_lagrange(pub2)
+
+    outer_k = 24
+    circ = AggregationCircuit(vk, [proof, proof2], num_proofs=2)
+    public_inputs = circ.public_inputs([inst_comm, inst_comm2], [efw, efw2])
+    assert len(public_inputs) == 40 * 2 + 16
+    cs, cfg, asg, ctx, (quads, W, RHS) = ac.build(circ, outer_k, public_inputs)
+    for q, want in zip(quads, (efw, efw2)):
+        got = [q.e.value(), q.f.value(), q.w.value(), q.zw.value()]
+        assert got == list(want), "in-circuit quad != native quad"
+    W_want, RHS_want = fold_quads_host([efw, efw2])
+    assert (W.value(), RHS.value()) == (W_want, RHS_want), "in-circuit fold"
+    assert ctx.offset <= cs.usable_rows(1 << outer_k)
+    print(f"2-proof circuit rows: {ctx.offset} @ k={outer_k}")
+
+    if os.environ.get("H2A_FULL_MOCK", "1") == "1":
+        from halo2_aggregation_tpu.plonk.mock import mock_verify_fast
+
+        failures = mock_verify_fast(cs, asg)
+        assert failures == [], failures[:5]
+
+
+@pytest.mark.slow
+def test_constrained_fs_quad_matches(inner_proof):
+    """The CONSTRAINED Fiat-Shamir verifier (Poseidon transcript computed
+    in-circuit — our soundness upgrade over transcript.rs:62-65): the
+    gadget-derived challenges drive the full verifier and reproduce the
+    native PoseidonRead verifier's quad bit-exactly."""
+    from halo2_aggregation_tpu.plonk.keygen import keygen as _kg
+    from halo2_aggregation_tpu.plonk.prover import create_proof as _cp
+    from halo2_aggregation_tpu.utils.transcript import (
+        PoseidonRead,
+        PoseidonWrite,
+    )
+
+    params, vk, _proof, pub, inst_comm, _efw = inner_proof
+    circuit = se.MyCircuit(constant=7, a=2, b=3)
+    cs_e, _, asg_e = se.build(circuit.without_witnesses(), k=9)
+    _, pk = _kg(params, cs_e, asg_e)
+    _, _, asg_i = se.build(circuit, k=9)
+    proof_p = _cp(params, pk, asg_i, [pub], seed=42, transcript_cls=PoseidonWrite)
+    ok, efw_p = verify_proof(
+        params, vk, [pub], proof_p, transcript_cls=PoseidonRead
+    )
+    assert ok
+
+    outer_k = 23
+    circ = ac.SingleProofCircuit(vk, proof_p, constrained_fs=True)
+    public_inputs = circ.public_inputs(inst_comm, efw_p)
+    cs, cfg, asg, ctx, quad = ac.build(circ, outer_k, public_inputs)
+    got = [quad.e.value(), quad.f.value(), quad.w.value(), quad.zw.value()]
+    assert got == list(efw_p), "constrained-FS in-circuit quad != native"
+    assert ctx.offset <= cs.usable_rows(1 << outer_k)
+
+    if os.environ.get("H2A_FULL_MOCK", "1") == "1":
+        from halo2_aggregation_tpu.plonk.mock import mock_verify_fast
+
+        failures = mock_verify_fast(cs, asg)
+        assert failures == [], failures[:5]
