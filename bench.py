@@ -64,11 +64,10 @@ def main():
     from halo2_aggregation_tpu.plonk.prover import create_proof
     from halo2_aggregation_tpu.plonk.verifier import parse_proof, verify_proof
     from halo2_aggregation_tpu.plonk.verifier_tpu import (
+        _fast_device_jitted,
         batch_proofs,
         check_aggregate,
-        fast_device,
         fast_prep,
-        verify_algebra_fast,
     )
 
     cfg = H2AConfig.from_env()
@@ -102,7 +101,8 @@ def main():
         batch = batch_proofs(vk, parsed)
         lanes = fast_prep(vk, parsed)
         t2 = time.time()
-        out = fast_device(vk, batch, B, lanes[2], lanes[0], lanes[1], lanes[3], lanes[4])
+        step = _fast_device_jitted(vk, B, lanes[2])
+        out = step(batch, lanes[0].x, lanes[0].y, lanes[0].z, lanes[1], lanes[3], lanes[4])
         quads_cols = [co.jac_to_ints(out[n]) for n in ("e", "f", "w", "zw")]
         t3 = time.time()
         quads = [tuple(qc[i] for qc in quads_cols) for i in range(B)]
@@ -133,9 +133,11 @@ def main():
     batch = batch_proofs(vk, parsed)
     lanes = fast_prep(vk, parsed)
 
+    step = _fast_device_jitted(vk, B, lanes[2])
+
     def algebra_once():
-        out = fast_device(
-            vk, batch, B, lanes[2], lanes[0], lanes[1], lanes[3], lanes[4]
+        out = step(
+            batch, lanes[0].x, lanes[0].y, lanes[0].z, lanes[1], lanes[3], lanes[4]
         )
         np.asarray(out["w"].x)  # force execution (axon defers until D2H)
 

@@ -553,6 +553,26 @@ def fast_device(
     return quads
 
 
+_FAST_DEVICE_JIT = {}
+
+
+def _fast_device_jitted(vk: VerifyingKey, B: int, ms: tuple):
+    """One compiled program per (vk, batch, lane split): the whole device
+    half (field algebra + ladder + tree sums) runs as a single dispatch —
+    eager mode paid one tunnel round-trip per limb op."""
+    key = (vk.hash_scalar(), B, ms)
+    if key not in _FAST_DEVICE_JIT:
+
+        @jax.jit
+        def step(b, px, py, pz, ss, hc, kn):
+            return fast_device(
+                vk, b, B, ms, co.JacPoint(px, py, pz), ss, hc, kn
+            )
+
+        _FAST_DEVICE_JIT[key] = step
+    return _FAST_DEVICE_JIT[key]
+
+
 def verify_algebra_fast(
     vk: VerifyingKey, b: VerifierBatch, parsed: List[ParsedProof]
 ):
@@ -561,8 +581,10 @@ def verify_algebra_fast(
     sequential EC fold scans.  Produces the identical quad."""
     B = len(parsed)
     lane_pts, lane_scalars, ms, h_coeff_mont, known_mont = fast_prep(vk, parsed)
-    return fast_device(
-        vk, b, B, ms, lane_pts, lane_scalars, h_coeff_mont, known_mont
+    step = _fast_device_jitted(vk, B, ms)
+    return step(
+        b, lane_pts.x, lane_pts.y, lane_pts.z, lane_scalars,
+        h_coeff_mont, known_mont,
     )
 
 
