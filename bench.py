@@ -102,8 +102,12 @@ def main():
         lanes = fast_prep(vk, parsed)
         t2 = time.time()
         step = _fast_device_jitted(vk, B, lanes[2])
-        out = step(batch, lanes[0].x, lanes[0].y, lanes[0].z, lanes[1], lanes[3], lanes[4])
-        quads_cols = [co.jac_to_ints(out[n]) for n in ("e", "f", "w", "zw")]
+        stacked, _h = step(batch, lanes[0].x, lanes[0].y, lanes[0].z, lanes[1], lanes[3], lanes[4])
+        arr = np.asarray(stacked)  # ONE D2H transfer for all 12 coords
+        quads_cols = [
+            co.jac_to_ints(co.JacPoint(arr[3 * i], arr[3 * i + 1], arr[3 * i + 2]))
+            for i in range(4)
+        ]
         t3 = time.time()
         quads = [tuple(qc[i] for qc in quads_cols) for i in range(B)]
         ok = check_aggregate(quads, params)
@@ -136,10 +140,10 @@ def main():
     step = _fast_device_jitted(vk, B, lanes[2])
 
     def algebra_once():
-        out = step(
+        stacked, _h = step(
             batch, lanes[0].x, lanes[0].y, lanes[0].z, lanes[1], lanes[3], lanes[4]
         )
-        np.asarray(out["w"].x)  # force execution (axon defers until D2H)
+        np.asarray(stacked)  # force execution (axon defers until D2H)
 
     algebra_once()
     tpu_rate, _ = median_rate(algebra_once, B, trials=3)

@@ -565,9 +565,19 @@ def _fast_device_jitted(vk: VerifyingKey, B: int, ms: tuple):
 
         @jax.jit
         def step(b, px, py, pz, ss, hc, kn):
-            return fast_device(
+            out = fast_device(
                 vk, b, B, ms, co.JacPoint(px, py, pz), ss, hc, kn
             )
+            # ONE output buffer: 12 per-coord D2H transfers through the
+            # tunnel cost ~15ms each; a (12, B, 32) stack costs one
+            stacked = jnp.stack(
+                [
+                    getattr(out[n], c)
+                    for n in ("e", "f", "w", "zw")
+                    for c in ("x", "y", "z")
+                ]
+            )
+            return stacked, out["h_eval"]
 
         _FAST_DEVICE_JIT[key] = step
     return _FAST_DEVICE_JIT[key]
@@ -582,10 +592,16 @@ def verify_algebra_fast(
     B = len(parsed)
     lane_pts, lane_scalars, ms, h_coeff_mont, known_mont = fast_prep(vk, parsed)
     step = _fast_device_jitted(vk, B, ms)
-    return step(
+    stacked, h_eval = step(
         b, lane_pts.x, lane_pts.y, lane_pts.z, lane_scalars,
         h_coeff_mont, known_mont,
     )
+    arr = np.asarray(stacked)  # the single D2H transfer
+    quads = {}
+    for i, name in enumerate(("e", "f", "w", "zw")):
+        quads[name] = co.JacPoint(arr[3 * i], arr[3 * i + 1], arr[3 * i + 2])
+    quads["h_eval"] = h_eval
+    return quads
 
 
 def synthetic_batch(vk: VerifyingKey, B: int, seed: int = 0) -> VerifierBatch:
