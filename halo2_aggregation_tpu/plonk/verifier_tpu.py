@@ -523,11 +523,27 @@ def fast_device(
 ):
     """Device half (jittable, shardable: B over `dp`, lanes over `mp`):
     field algebra for h_eval + ONE batched ladder over every multiopen
-    lane, then per-component tree sums."""
+    lane INCLUDING the e-component (e = -(eval_known + h_coeff*h_eval)*G1
+    — its device-computed scalar is ready before the ladder, so it rides
+    the same kernel call instead of paying a second dispatch), then
+    per-component tree sums."""
     from ..ops.ec_pallas import scalar_mul_auto
 
     h_eval, _, _ = field_algebra(vk, b, B)
-    per_all = scalar_mul_auto(lane_pts, lane_scalars, 254)
+
+    # e-lane scalar: -(eval_known + h_coeff * h_eval), decoded to plain limbs
+    eval_multi = fo.add(
+        fo.mont_mul(h_coeff_mont, h_eval, FR), known_mont, FR
+    )
+    e_scalar = fo.from_mont(fo.neg(eval_multi, FR), FR)[:, None, :]  # (B,1,32)
+    g1 = _points_to_batch([G1_GEN] * B)
+    all_pts = co.JacPoint(
+        jnp.concatenate([lane_pts.x, g1.x[:, None, :]], axis=1),
+        jnp.concatenate([lane_pts.y, g1.y[:, None, :]], axis=1),
+        jnp.concatenate([lane_pts.z, g1.z[:, None, :]], axis=1),
+    )
+    all_scalars = jnp.concatenate([lane_scalars, e_scalar], axis=1)
+    per_all = scalar_mul_auto(all_pts, all_scalars, 254)
 
     quads = {}
     off = 0
@@ -543,12 +559,9 @@ def fast_device(
         )
         quads[name] = co.jac_sum(trans)
 
-    # e = -(eval_known + h_coeff * h_eval) * G1
-    eval_multi = fo.add(
-        fo.mont_mul(h_coeff_mont, h_eval, FR), known_mont, FR
+    quads["e"] = co.JacPoint(
+        per_all.x[:, off], per_all.y[:, off], per_all.z[:, off]
     )
-    g1 = _points_to_batch([G1_GEN] * B)
-    quads["e"] = _ec_mul_mont(g1, fo.neg(eval_multi, FR))
     quads["h_eval"] = h_eval
     return quads
 
