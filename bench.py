@@ -158,6 +158,25 @@ def main():
         np.asarray(out.x)
 
     ladder_once()
+    # parity gate before timing: the compiled Mosaic kernel must agree
+    # with the Python-int oracle on real verifier lanes (affine equality —
+    # the windowed kernel's Jacobian representative differs from the scan)
+    from halo2_aggregation_tpu.oracle import curve as _oc
+    from halo2_aggregation_tpu.ops.limbs import limbs_to_ints
+
+    par_n = 8
+    sl = co.JacPoint(
+        lanes[0].x.reshape(-1, 32)[:par_n],
+        lanes[0].y.reshape(-1, 32)[:par_n],
+        lanes[0].z.reshape(-1, 32)[:par_n],
+    )
+    sl_ks = lanes[1].reshape(-1, 32)[:par_n]
+    got = co.jac_to_ints(scalar_mul_auto(sl, sl_ks, 254))
+    want = [
+        _oc.g1_mul(p, int(k))
+        for p, k in zip(co.jac_to_ints(sl), limbs_to_ints(np.asarray(sl_ks)))
+    ]
+    assert got == want, "Pallas ladder diverges from the oracle on real lanes"
     ladder_rate, _ = median_rate(ladder_once, n_lanes, trials=3)
 
     # --- device bucket MSM (ops/msm.py): Mpoint-adds/s/chip ---------------

@@ -41,6 +41,11 @@ from .gadgets.ecc import AssignedPoint, EccChip
 from .gadgets.main_gate import AssignedValue, Ctx, MainGate, Term
 
 
+#: placeholder for the vanishing H commitment in the query schedule — H is
+#: never materialized as an AssignedPoint (see step 24/27 in verify_proof)
+_H_SENTINEL = object()
+
+
 class GadgetOps(ScalarOps):
     """ScalarOps backend that emits main-gate rows over AssignedValues —
     the in-circuit analog of the reference's `compute_expr` + MainGate
@@ -222,8 +227,6 @@ class VerifierChip:
             known=self.transcript is not None,
         )
 
-    def _mul_var(self, ctx, pt, scalar):
-        return self.ecc.mul_var(ctx, pt, scalar, self.mul_nbits)
 
     # ------------------------------------------------------------------
     def verify_proof(self, ctx: Ctx, instance_col: Column, instance_offset: int = 0):
@@ -352,15 +355,20 @@ class VerifierChip:
                 adv_evals, fix_evals, inst_evals,
             )
 
-        # 24: h_eval + H fold (vanishing.rs:136-201)
+        # 24: h_eval (vanishing.rs:136-201).  The H commitment is NOT
+        # materialized in-circuit: its only use is as the vanishing_h
+        # query in step 27's fold, so H's definition
+        # H = sum_i [xn^i] h_comms[i]  is expanded INTO that MSM with
+        # native xn-power scalars — the whole H fold's EC cost collapses
+        # into the shared doublings of the multiopen MSM.
         h_eval = protocol.fold_y(ops, exprs, y)
         h_eval = mg.div(ctx, h_eval, xn_sub_one)
-        H = h_comms[0]
-        xn_power = xn
-        for hc in h_comms[1:]:
-            term = self._mul_var(ctx, hc, xn_power)
-            xn_power = mg.mul(ctx, xn_power, xn)
-            H = ecc.add_incomplete(ctx, H, term)
+        xn_pows = [None] * len(h_comms)  # native scalars xn^i
+        if h_comms:
+            xn_pows[0] = mg.assign_constant(ctx, 1)
+            for i in range(1, len(h_comms)):
+                xn_pows[i] = mg.mul(ctx, xn_pows[i - 1], xn)
+        H = _H_SENTINEL
 
         # 25: queries in schedule order (verifier.rs:654-715)
         sched = query_schedule(cs, num_chunks, num_lookups)
@@ -412,45 +420,78 @@ class VerifierChip:
         v = self.tchip.squeeze_challenge_scalar(ctx)
         u = self.tchip.squeeze_challenge_scalar(ctx)
 
-        # 27: GWC multiopen fold (multiopen.rs:271-509)
+        # 27: GWC multiopen fold (multiopen.rs:271-509), restructured into
+        # THREE shared-doubling in-circuit MSMs that produce the exact
+        # group elements of the reference's Horner chains:
+        #     f_pt  = sum_i u^{R-1-i} sum_j v^{m_i-1-j} C_ij
+        #     w_pt  = sum_i u^{R-1-i} W_i
+        #     zw_pt = sum_i u^{R-1-i} z_i W_i
+        # The scalar algebra (u/v/xn powers, z_i = omega^rot * x) moves to
+        # NATIVE one-row muls; all EC cost concentrates in msm_var, where
+        # every extra point shares the accumulator doublings.  Transcript
+        # read order (w_comms per sorted rotation) is unchanged.
         by_rot = {}
         for q, comm, ev in resolved:
             by_rot.setdefault(q.rotation, []).append((comm, ev))
+        rots = sorted(by_rot)
+        n_rots = len(rots)
+        u_pows = [None] * n_rots  # u^{n_rots-1-i}
+        u_pows[n_rots - 1] = mg.assign_constant(ctx, 1)
+        for i in range(n_rots - 2, -1, -1):
+            u_pows[i] = mg.mul(ctx, u_pows[i + 1], u)
         eval_multi = ops.constant(0)
-        Ws: List[AssignedPoint] = []
-        ZWs: List[AssignedPoint] = []
-        Fs: List[AssignedPoint] = []
-        for rot in sorted(by_rot):
+        w_entries, zw_entries, f_entries = [], [], []
+        for i, rot in enumerate(rots):
             w_exp = pow(omega, rot, R) if rot >= 0 else pow(omega_inv, -rot, R)
             pow_real_omega = ops.constant(w_exp)
             z_pt = mg.mul(ctx, pow_real_omega, x)
             wi = self._read_comm(ctx)
-            z_wi = self._mul_var(ctx, wi, z_pt)
-            Ws.append(wi)
-            ZWs.append(z_wi)
+            w_entries.append((wi, u_pows[i]))
+            zw_entries.append((wi, mg.mul(ctx, u_pows[i], z_pt)))
             eval_multi = mg.mul(ctx, eval_multi, u)
             entries = by_rot[rot]
-            batch_c, batch_e = entries[0]
-            for comm, ev in entries[1:]:
-                batch_c = ecc.add_incomplete(ctx, self._mul_var(ctx, batch_c, v), comm)
-                batch_e = mg.add(ctx, mg.mul(ctx, batch_e, v), ev)
-            Fs.append(batch_c)
+            m = len(entries)
+            v_pows = [None] * m  # v^{m-1-j}
+            v_pows[m - 1] = u_pows[n_rots - 1]  # the assigned 1
+            for j in range(m - 2, -1, -1):
+                v_pows[j] = mg.mul(ctx, v_pows[j + 1], v)
+            batch_e = None
+            for j, (comm, ev) in enumerate(entries):
+                s = (
+                    u_pows[i]
+                    if j == m - 1
+                    else mg.mul(ctx, u_pows[i], v_pows[j])
+                )
+                if comm is _H_SENTINEL:
+                    for idx in range(len(h_comms)):
+                        sc = s if idx == 0 else mg.mul(ctx, s, xn_pows[idx])
+                        f_entries.append((h_comms[idx], sc))
+                else:
+                    f_entries.append((comm, s))
+                batch_e = (
+                    ev
+                    if batch_e is None
+                    else mg.add(ctx, mg.mul(ctx, batch_e, v), ev)
+                )
             eval_multi = mg.add(ctx, eval_multi, batch_e)
 
-        def fold_pts(pts):
-            acc = pts[0]
-            for pt in pts[1:]:
-                acc = ecc.add_incomplete(ctx, self._mul_var(ctx, acc, u), pt)
-            return acc
+        one_c = u_pows[n_rots - 1]  # the assigned constant 1
 
-        w_pt = fold_pts(Ws)
-        zw_pt = fold_pts(ZWs)
-        f_pt = fold_pts(Fs)
+        def _msm(entries):
+            # unit-scalar entries skip the ladder (added once, exactly)
+            return ecc.msm_var(
+                ctx,
+                [(p, s) for p, s in entries if s is not one_c],
+                plus=[p for p, s in entries if s is one_c],
+            )
+
+        f_pt = _msm(f_entries)
+        w_pt = _msm(w_entries)
+        zw_pt = _msm(zw_entries)
         from ..fields import G1_GEN
 
-        g1 = ecc.assign_constant_point(ctx, G1_GEN)
         neg_e = mg.neg(ctx, eval_multi)
-        e_pt = self._mul_var(ctx, g1, neg_e)
+        e_pt = ecc.mul_fixed(ctx, G1_GEN, neg_e, self.mul_nbits)
         quad = MultiopenVar(w=w_pt, zw=zw_pt, f=f_pt, e=e_pt)
 
         # 28: pin the quad against the instance column (verifier.rs:739-754;

@@ -162,17 +162,16 @@ class AggregationCircuit:
             ]
             lam_v = aggregate_lambda(vals)
         lam = mg.assign_value(ctx, lam_v)
+        # native lambda powers lam^i, i >= 1 (the lam^0 term is added
+        # directly — no point paying a ladder for scalar 1)
+        lam_pows = [lam]
+        for _ in range(self.num_proofs - 2):
+            lam_pows.append(mg.mul(ctx, lam_pows[-1], lam))
 
         def fold(pts):
-            # Horner over descending powers: sum_i lam^i pts[i]
-            acc = pts[-1]
-            for p in reversed(pts[:-1]):
-                acc = ecc.add_incomplete(
-                    ctx,
-                    ecc.mul_var(ctx, acc, lam, self.mul_nbits),
-                    p,
-                )
-            return acc
+            # sum_i lam^i pts[i] as ONE in-circuit MSM (shared doublings)
+            acc = ecc.msm_var(ctx, list(zip(pts[1:], lam_pows)))
+            return ecc.add_incomplete(ctx, acc, pts[0])
 
         rhss = [
             ecc.add_incomplete(
