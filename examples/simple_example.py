@@ -36,9 +36,12 @@ def main():
         PoseidonWrite,
     )
 
-    # H2A_CONSTRAINED_FS=1: Poseidon transcript end to end, with challenge
-    # derivation ENFORCED in-circuit (our upgrade over transcript.rs:62-65)
-    cfs = os.environ.get("H2A_CONSTRAINED_FS", "0") == "1"
+    # Constrained Fiat-Shamir is the DEFAULT mode: Poseidon transcript end
+    # to end, with challenge derivation ENFORCED in-circuit — our upgrade
+    # over the reference's witnessed-unconstrained challenges
+    # (transcript.rs:62-65).  H2A_CONSTRAINED_FS=0 selects the
+    # reference-parity Blake2b mode (challenges unconstrained in-circuit).
+    cfs = os.environ.get("H2A_CONSTRAINED_FS", "1") == "1"
     t_write = PoseidonWrite if cfs else Blake2bWrite
     t_read = PoseidonRead if cfs else Blake2bRead
 

@@ -40,7 +40,7 @@ def test_in_circuit_verifier_quad_matches(inner_proof):
     native verifier's quad exactly (the reference's `debug`-feature
     diff, SURVEY.md §4), on a full-width (254-bit mul) synthesis."""
     params, vk, proof, pub, inst_comm, efw = inner_proof
-    outer_k = 23
+    outer_k = 21
     circuit = ac.SingleProofCircuit(vk, proof)
     public_inputs = circuit.public_inputs(inst_comm, efw)
     cs, cfg, asg, ctx, quad = ac.build(circuit, outer_k, public_inputs)
@@ -76,10 +76,6 @@ def test_fold_quads_host_matches_aggregate_quads(inner_proof):
 
 
 @pytest.mark.slow
-@pytest.mark.skipif(
-    os.environ.get("H2A_MULTIPROOF", "0") != "1",
-    reason="k=24 synthesis (~10 min, ~50GB); enable with H2A_MULTIPROOF=1",
-)
 def test_two_proof_aggregation_circuit(inner_proof):
     """VERDICT r1 item 6 'done' criterion: a 2-proof outer circuit whose
     two quads match the native verifier and whose in-circuit fold matches
@@ -103,7 +99,9 @@ def test_two_proof_aggregation_circuit(inner_proof):
     assert ok2
     inst_comm2 = params.commit_lagrange(pub2)
 
-    outer_k = 24
+    # fits k=22 since the GLV/MSM circuit shrink; default-on (was k=24,
+    # ~10 min + ~50GB, env-gated)
+    outer_k = 22
     circ = AggregationCircuit(vk, [proof, proof2], num_proofs=2)
     public_inputs = circ.public_inputs([inst_comm, inst_comm2], [efw, efw2])
     assert len(public_inputs) == 40 * 2 + 16
@@ -147,7 +145,7 @@ def test_constrained_fs_quad_matches(inner_proof):
     )
     assert ok
 
-    outer_k = 23
+    outer_k = 21
     circ = ac.SingleProofCircuit(vk, proof_p, constrained_fs=True)
     public_inputs = circ.public_inputs(inst_comm, efw_p)
     cs, cfg, asg, ctx, quad = ac.build(circ, outer_k, public_inputs)
