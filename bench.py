@@ -179,15 +179,23 @@ def main():
     assert got == want, "Pallas ladder diverges from the oracle on real lanes"
     ladder_rate, _ = median_rate(ladder_once, n_lanes, trials=3)
 
-    # --- device bucket MSM (ops/msm.py): Mpoint-adds/s/chip ---------------
-    # 2^n_msm random points x 254-bit scalars; algorithmic add count for
-    # the sort+segmented-scan formulation is ~2N per 8-bit window.
+    # --- device bucket MSM: Mpoint-adds/s/chip -----------------------------
+    # 2^n_msm random points x 254-bit scalars through msm_mod.msm (which
+    # dispatches to the Pallas bucket kernel on TPU).  Add counts are the
+    # algorithmic point-adds of the active formulation: N per 4-bit window
+    # x 64 windows (Pallas), ~2N per 8-bit window x 32 (XLA sort+scan).
+    # The result is parity-gated against the native C++ Pippenger before
+    # any timing is trusted.
     from halo2_aggregation_tpu.ops import msm as msm_mod
     from halo2_aggregation_tpu.oracle import curve as oc_
     from halo2_aggregation_tpu.utils import native as native_
-    from halo2_aggregation_tpu.utils.u64 import ints_to_u64, u64_to_limbs8
+    from halo2_aggregation_tpu.utils.u64 import (
+        ints_to_u64,
+        u64_to_limbs8,
+        u64_to_points,
+    )
 
-    n_msm = 1 << int(os.environ.get("H2A_BENCH_MSM_LOG2", "14"))
+    n_msm = 1 << int(os.environ.get("H2A_BENCH_MSM_LOG2", "17"))
     base = oc_.g1_generator()
     base_u64 = ints_to_u64([base[0], base[1]]).reshape(-1)
     msm_rng = np.random.default_rng(5)
@@ -200,22 +208,26 @@ def main():
         jnp.asarray(fo.to_mont(jnp.asarray(u64_to_limbs8(aff_u64[:, 4:])), fo.FQ)),
         jnp.asarray(inf_u64.astype(bool)),
     )
-    msm_ss = jnp.asarray(
-        u64_to_limbs8(
-            ints_to_u64(
-                [int.from_bytes(msm_rng.bytes(31), "little") for _ in range(n_msm)]
-            )
-        )
-    )
+    msm_scalar_ints = [
+        int.from_bytes(msm_rng.bytes(31), "little") for _ in range(n_msm)
+    ]
+    msm_ss = jnp.asarray(u64_to_limbs8(ints_to_u64(msm_scalar_ints)))
 
     def msm_once():
-        r = msm_mod.msm_bucket(msm_pts, msm_ss, 254)
-        np.asarray(r.x)
+        r = msm_mod.msm(msm_pts, msm_ss, 254)
+        return np.asarray(r.x), np.asarray(r.y), np.asarray(r.z)
 
-    msm_once()  # warmup/compile
-    windows = 32
-    msm_adds = 2 * n_msm * windows
-    msm_rate, msm_t = median_rate(msm_once, msm_adds, trials=2)
+    mx, my, mz = msm_once()  # warmup/compile + parity input
+    got_msm = co.jac_to_ints(
+        co.JacPoint(jnp.asarray(mx)[None], jnp.asarray(my)[None], jnp.asarray(mz)[None])
+    )[0]
+    want_msm = native_.g1_msm(
+        u64_to_points(aff_u64, inf_u64), msm_scalar_ints
+    )
+    assert got_msm == want_msm, "device MSM diverges from native Pippenger"
+    pallas_msm = os.environ.get("H2A_PALLAS_MSM", "1") == "1"
+    msm_adds = n_msm * 64 if pallas_msm else 2 * n_msm * 32
+    msm_rate, msm_t = median_rate(lambda: msm_once(), msm_adds, trials=2)
 
     # --- host baseline: same algebra, single thread, python ints ----------
     pub, proof = protos[0][0], protos[0][1]
@@ -274,6 +286,17 @@ def main():
     sol_rate = vpu_peak / ops_per_mont
     roofline_frac = fmul_rate / sol_rate
 
+    # In-KERNEL mont-mul throughput implied by the measured Pallas ladder:
+    # the 4-bit windowed kernel does 3,474 Fq mont-muls per 254-bit
+    # scalar-mul (64 x (4 jac_double@9 + jac_add@16) + 210 table-build;
+    # ops/ec_pallas.py).  Unlike the chained XLA micro-bench above (which
+    # round-trips HBM between muls and is bandwidth-bound), this measures
+    # the VMEM-resident compute rate — the honest kernel-efficiency
+    # number for BASELINE.md's roofline row.
+    muls_per_ladder = 3474
+    kernel_mont_rate = ladder_rate * muls_per_ladder
+    kernel_roofline_frac = kernel_mont_rate / sol_rate
+
     print(
         json.dumps(
             {
@@ -294,6 +317,8 @@ def main():
                     "fr_mont_mul_per_s": round(fmul_rate, 1),
                     "fr_mont_mul_roofline_frac": round(roofline_frac, 4),
                     "fr_mont_mul_sol_per_s": round(sol_rate, 1),
+                    "pallas_kernel_mont_mul_per_s": round(kernel_mont_rate, 1),
+                    "pallas_kernel_roofline_frac": round(kernel_roofline_frac, 4),
                     "stages": stage,
                     "device": str(jax.devices()[0]),
                 },

@@ -292,6 +292,88 @@ def _win_kernel(n_win, p_ref, pinv_ref, twop_ref, comp2p_ref, one_ref,
     oz_ref[:] = acc[2]
 
 
+def _msm_kernel(n_steps, wpg, p_ref, pinv_ref, twop_ref, comp2p_ref, one_ref,
+                px_ref, py_ref, s_ref,
+                obx_ref, oby_ref, obz_ref,
+                bx_ref, by_ref, bz_ref):
+    """Bucket-accumulation pass of the Pippenger MSM (one window-group).
+
+    Grid (n_groups, n_steps): for window-group g, stream the points in
+    (NLIMBS, T) tiles; every lane owns a private 16-entry bucket table
+    per window (scratch refs, wpg x 16 x (32, T) i32 per coordinate =
+    3 MB at wpg=4, T=128).  Per step and window: extract the 4-bit digit
+    from the scalar limbs (mask+reduce — no dynamic sublane slicing in
+    Mosaic), gather bucket[digit] with a branchless select tree, ONE
+    jac_add with the streamed point, scatter back with 16 masked writes.
+    Select traffic is ~3 mont_muls-equivalent vs the add's ~24, so the
+    VPU stays on field math.  Bucket 0 is a dump (never folded), which
+    makes zero digits, zero scalars, padding lanes and infinity inputs
+    (their scalars are pre-zeroed) all inert with no special casing.
+
+    The reference's MSMs live inside its private halo2 fork's multiexp
+    (SURVEY.md §2b, `commit_lagrange` examples/simple-example.rs:632-641);
+    this kernel is the TPU-native equivalent feeding kzg.Params.
+
+    Work: n point-adds per window x ceil(nbits/4) windows; the fold
+    (suffix sums + cross-lane tree + Horner) happens outside in batched
+    XLA — it is O(windows * (16 + log T)) and invariant in n."""
+    g = pl.program_id(0)
+    s_id = pl.program_id(1)
+    fc = (p_ref[:], pinv_ref[:], twop_ref[:], comp2p_ref[:], one_ref[:])
+    one = fc[_ONE]
+    nb = 16  # buckets per 4-bit window
+
+    @pl.when(s_id == 0)
+    def _init():
+        for j in range(wpg * nb):
+            rows = slice(j * NLIMBS, (j + 1) * NLIMBS)
+            bx_ref[rows] = one
+            by_ref[rows] = one
+            bz_ref[rows] = jnp.zeros_like(one)
+
+    px, py = px_ref[:], py_ref[:]
+    pz = jnp.zeros_like(px) + one
+    sc = s_ref[:]
+    limb_ids = lax.broadcasted_iota(jnp.int32, (NLIMBS, 1), 0)
+
+    for j in range(wpg):
+        # window index g*wpg + j -> scalar limb (g*wpg + j) // 2; wpg is
+        # even (asserted by the wrapper), so the digit parity — hence the
+        # 4-bit shift below — is static in j
+        limb_idx = (g * wpg + j) // 2
+        lv = jnp.sum(
+            jnp.where(limb_ids == limb_idx, sc, 0), axis=0, keepdims=True
+        )
+        dig = (lv >> (4 * (j % 2))) & 15  # (1, T) in [0, 16)
+
+        base = j * nb
+        row = lambda k: slice((base + k) * NLIMBS, (base + k + 1) * NLIMBS)
+        bukx = [bx_ref[row(k)] for k in range(nb)]
+        buky = [by_ref[row(k)] for k in range(nb)]
+        bukz = [bz_ref[row(k)] for k in range(nb)]
+
+        curx, cury, curz = bukx, buky, bukz
+        for bit in range(4):
+            m = ((dig >> bit) & 1).astype(bool)
+            curx = [_sel(m, curx[2 * i + 1], curx[2 * i]) for i in range(len(curx) // 2)]
+            cury = [_sel(m, cury[2 * i + 1], cury[2 * i]) for i in range(len(cury) // 2)]
+            curz = [_sel(m, curz[2 * i + 1], curz[2 * i]) for i in range(len(curz) // 2)]
+
+        nx, ny, nz = _jac_add(fc, curx[0], cury[0], curz[0], px, py, pz)
+
+        for k in range(nb):
+            m = dig == k
+            bx_ref[row(k)] = _sel(m, nx, bukx[k])
+            by_ref[row(k)] = _sel(m, ny, buky[k])
+            bz_ref[row(k)] = _sel(m, nz, bukz[k])
+
+    @pl.when(s_id == n_steps - 1)
+    def _dump():
+        obx_ref[:] = bx_ref[:]
+        oby_ref[:] = by_ref[:]
+        obz_ref[:] = bz_ref[:]
+
+
 def _final_kernel(comp_p_ref, x_ref, o_ref):
     """[0,2p) -> [0,p) canonicalization as a tiny second kernel, so host
     decode and XLA-op consumers agree bit-for-bit with the scan path."""
@@ -422,6 +504,131 @@ def scalar_mul_pallas_win(points_jac, scalars, nbits=254, tile=128, interpret=Fa
         interpret=interpret,
     )(comp_p, a)
     return JacPoint(*(canon(c).T for c in out))
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def msm_bucket_pallas(xs, ys, scalars, nbits=254, tile=128, interpret=False):
+    """Pippenger MSM: sum_i s_i * (xs_i, ys_i) on the chip.
+
+    xs, ys: (N, 32) Montgomery affine Fq limbs (infinity not allowed —
+    callers zero the scalar instead, see ops/msm.py); scalars: (N, 32)
+    plain limbs; N a multiple of `tile`.  Returns one JacPoint with
+    (32,) canonical-form coords, bit-identical to the XLA bucket path.
+
+    Cost model: the kernel does N * ceil(nbits/4) lane-parallel jac_adds
+    (4-bit windows, each point visits every window once); the XLA-side
+    fold is O(windows * (16 + log2 tile)) adds, invariant in N."""
+    from .curve_ops import JacPoint, jac_add, jac_double, jac_identity
+
+    n = xs.shape[0]
+    assert n % tile == 0
+    wpg = 4  # windows per kernel pass (must be even: digit parity static)
+    n_win = -(-nbits // 4)
+    n_win += (-n_win) % wpg
+    n_grp = n_win // wpg
+    n_steps = n // tile
+    rows_pg = wpg * 16 * NLIMBS  # scratch/out rows per group
+
+    def tconst(vals32):
+        return jnp.asarray(
+            np.tile(np.asarray(vals32, np.int32).reshape(NLIMBS, 1), (1, tile))
+        )
+
+    p_int = Q
+    consts = [
+        tconst(FQ.p_limbs),
+        tconst(FQ.p_inv_neg),
+        tconst(_ints_to_cols(2 * p_int, NLIMBS)),
+        tconst(_ints_to_cols((1 << 256) - 2 * p_int, NLIMBS)),
+        tconst(FQ.one_mont),
+    ]
+    comp_p = tconst(_ints_to_cols((1 << 256) - p_int, NLIMBS))
+
+    bs = lambda: pl.BlockSpec(
+        (NLIMBS, tile), lambda g, s: (0, s), memory_space=pltpu.VMEM
+    )
+    cs_spec = lambda: pl.BlockSpec(
+        (NLIMBS, tile), lambda g, s: (0, 0), memory_space=pltpu.VMEM
+    )
+    os_spec = lambda: pl.BlockSpec(
+        (rows_pg, tile), lambda g, s: (g, 0), memory_space=pltpu.VMEM
+    )
+
+    tr = lambda a: a.T  # (N, 32) -> (32, N)
+    buckets = pl.pallas_call(
+        functools.partial(_msm_kernel, n_steps, wpg),
+        grid=(n_grp, n_steps),
+        in_specs=[cs_spec() for _ in range(5)] + [bs() for _ in range(3)],
+        out_specs=(os_spec(), os_spec(), os_spec()),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((n_grp * rows_pg, tile), jnp.int32)
+            for _ in range(3)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows_pg, tile), jnp.int32) for _ in range(3)
+        ],
+        interpret=interpret,
+    )(*consts, tr(xs), tr(ys), tr(scalars))
+
+    fin_bs = pl.BlockSpec(
+        (NLIMBS, tile), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    fin_cs = pl.BlockSpec(
+        (NLIMBS, tile), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    canon = lambda a: pl.pallas_call(
+        _final_kernel,
+        grid=(n_grp * rows_pg // NLIMBS,),
+        in_specs=[fin_cs, fin_bs],
+        out_specs=fin_bs,
+        out_shape=jax.ShapeDtypeStruct((n_grp * rows_pg, tile), jnp.int32),
+        interpret=interpret,
+    )(comp_p, a)
+
+    # (rows, T) -> (n_win, 16, T, 32) bucket points
+    shape = lambda a: jnp.transpose(
+        canon(a).reshape(n_win, 16, NLIMBS, tile), (0, 1, 3, 2)
+    )
+    B = JacPoint(*(shape(c) for c in buckets))
+
+    # Pippenger bucket fold per window: sum_{d=1}^{15} d * bucket_d via
+    # running + suffix sums, batched over (n_win, T)
+    rev = JacPoint(
+        B.x[:, :0:-1], B.y[:, :0:-1], B.z[:, :0:-1]
+    )  # buckets 15..1, scan axis second
+    rev = JacPoint(
+        jnp.moveaxis(rev.x, 1, 0), jnp.moveaxis(rev.y, 1, 0), jnp.moveaxis(rev.z, 1, 0)
+    )
+    ident = jac_identity((n_win, tile))
+
+    def fstep(carry, b):
+        run, tot = carry
+        run = jac_add(run, b)
+        tot = jac_add(tot, run)
+        return (run, tot), None
+
+    (_, tot), _ = lax.scan(fstep, (ident, ident), rev)
+
+    # cross-lane tree reduction over T, batched over windows
+    t = tile
+    while t > 1:
+        t //= 2
+        tot = jac_add(
+            JacPoint(tot.x[:, :t], tot.y[:, :t], tot.z[:, :t]),
+            JacPoint(tot.x[:, t:], tot.y[:, t:], tot.z[:, t:]),
+        )
+    wsums = JacPoint(tot.x[:, 0], tot.y[:, 0], tot.z[:, 0])  # (n_win, 32)
+
+    # Horner across windows, high -> low: acc = 16*acc + w
+    wrev = JacPoint(wsums.x[::-1], wsums.y[::-1], wsums.z[::-1])
+
+    def hstep(acc, w):
+        for _ in range(4):
+            acc = jac_double(acc)
+        return jac_add(acc, w), None
+
+    acc, _ = lax.scan(hstep, jac_identity(()), wrev)
+    return acc
 
 
 def scalar_mul_auto(points_jac, scalars, nbits=254):

@@ -39,18 +39,61 @@ from ..fields import NLIMBS
 
 #: below this size the per-lane ladder beats the bucket machinery
 _BUCKET_MIN_N = 1 << 14
+#: on TPU, the Pallas bucket kernel takes over from here
+_PALLAS_MIN_N = 1 << 12
 _SLAB = 1 << 21
 
 
 def msm(points: co.AffinePoint, scalars, nbits: int = 256) -> co.JacPoint:
     """points: batched AffinePoint (n, 32); scalars: (n, 32) plain limbs.
     Returns the single Jacobian sum  sum_i s_i * P_i."""
+    import os
+
     n = points.x.shape[0]
+    on_tpu = any(
+        k in jax.default_backend().lower() for k in ("tpu", "axon")
+    ) or jax.devices()[0].platform.lower() in ("tpu", "axon")
+    if (
+        on_tpu
+        and n >= _PALLAS_MIN_N
+        and os.environ.get("H2A_PALLAS_MSM", "1") == "1"
+    ):
+        acc = msm_pallas(points, scalars, nbits)
+        return co.JacPoint(acc.x, acc.y, acc.z)
     if n >= _BUCKET_MIN_N:
         return msm_bucket(points, scalars, nbits)
     jac = co.affine_to_jac(points)
     per = co.scalar_mul(jac, scalars, nbits)
     return co.jac_sum(per)
+
+
+def msm_pallas(
+    points: co.AffinePoint, scalars, nbits: int = 254, tile: int = 128,
+    interpret: bool = False,
+) -> co.JacPoint:
+    """Pad-and-dispatch wrapper over ec_pallas.msm_bucket_pallas.
+
+    Infinity inputs contribute 0, so their scalars are zeroed (digit-0
+    entries land in the kernel's dump bucket); padding lanes get a dummy
+    (1, 1) 'point' with scalar 0, inert for the same reason."""
+    from . import ec_pallas as ep
+    from . import field_ops as fo
+
+    n = points.x.shape[0]
+    scalars = jnp.asarray(scalars, jnp.int32)
+    scalars = jnp.where(points.inf[:, None], 0, scalars)
+    pad = (-n) % tile
+    xs, ys = points.x, points.y
+    if pad:
+        one = jnp.broadcast_to(
+            jnp.asarray(fo.FQ.one_mont), (pad, NLIMBS)
+        ).astype(jnp.int32)
+        xs = jnp.concatenate([xs, one], 0)
+        ys = jnp.concatenate([ys, one], 0)
+        scalars = jnp.concatenate(
+            [scalars, jnp.zeros((pad, NLIMBS), jnp.int32)], 0
+        )
+    return ep.msm_bucket_pallas(xs, ys, scalars, nbits, tile, interpret)
 
 
 def _seg_combine(a, b):

@@ -122,6 +122,52 @@ def test_two_proof_aggregation_circuit(inner_proof):
 
 
 @pytest.mark.slow
+@pytest.mark.skipif(
+    os.environ.get("H2A_MULTIPROOF", "0") != "1",
+    reason="4-proof synthesis at k=23 (~3 min, ~25GB); enable with "
+    "H2A_MULTIPROOF=1",
+)
+def test_four_proof_aggregation_circuit(inner_proof):
+    """ROADMAP round-3 item 4: N=4 inner proofs in one outer circuit —
+    fits k=23 (the reference's SINGLE-proof k, simple-example.rs:663)
+    thanks to the GLV + shared-doubling in-circuit MSMs."""
+    from halo2_aggregation_tpu.models.aggregation_circuit import (
+        AggregationCircuit,
+        fold_quads_host,
+    )
+    from halo2_aggregation_tpu.plonk.prover import create_proof as _cp
+
+    params, vk, proof, pub, inst_comm, efw = inner_proof
+    proofs, pubs, comms, efws = [proof], [pub], [inst_comm], [efw]
+    for i, (a, b) in enumerate([(4, 5), (6, 11), (12, 13)]):
+        circ_i = se.MyCircuit(constant=7, a=a, b=b)
+        cs_e, _, asg_e = se.build(circ_i.without_witnesses(), k=9)
+        _, pk_i = keygen(params, cs_e, asg_e)
+        _, _, asg_i = se.build(circ_i, k=9)
+        pub_i = [circ_i.public_output()]
+        proof_i = _cp(params, pk_i, asg_i, [pub_i], seed=100 + i)
+        ok_i, efw_i = verify_proof(params, vk, [pub_i], proof_i)
+        assert ok_i
+        proofs.append(proof_i)
+        pubs.append(pub_i)
+        comms.append(params.commit_lagrange(pub_i))
+        efws.append(efw_i)
+
+    outer_k = 23
+    circ = AggregationCircuit(vk, proofs, num_proofs=4)
+    public_inputs = circ.public_inputs(comms, efws)
+    assert len(public_inputs) == 40 * 4 + 16
+    cs, cfg, asg, ctx, (quads, W, RHS) = ac.build(circ, outer_k, public_inputs)
+    for q, want in zip(quads, efws):
+        got = [q.e.value(), q.f.value(), q.w.value(), q.zw.value()]
+        assert got == list(want), "in-circuit quad != native quad"
+    W_want, RHS_want = fold_quads_host(efws)
+    assert (W.value(), RHS.value()) == (W_want, RHS_want), "in-circuit fold"
+    assert ctx.offset <= cs.usable_rows(1 << outer_k)
+    print(f"4-proof circuit rows: {ctx.offset} @ k={outer_k}")
+
+
+@pytest.mark.slow
 def test_constrained_fs_quad_matches(inner_proof):
     """The CONSTRAINED Fiat-Shamir verifier (Poseidon transcript computed
     in-circuit — our soundness upgrade over transcript.rs:62-65): the

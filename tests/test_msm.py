@@ -34,6 +34,37 @@ def _oracle_msm(pts, ss):
     return oc.g1_msm(pts, ss)
 
 
+def _on_tpu():
+    import jax
+
+    return jax.devices()[0].platform.lower() in ("tpu", "axon")
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    "not _on_tpu()",
+    reason="Pallas bucket MSM is TPU-targeted; interpret mode is "
+    "impractically slow on this 2-core host (bench.py parity-gates it "
+    "on-chip at 2^17; this test covers 2^14 when a chip is present)",
+)
+def test_pallas_bucket_msm_matches_native_pippenger():
+    """ops/msm.py msm() on TPU -> ec_pallas.msm_bucket_pallas; full
+    254-bit scalars, infinity lane, zero scalar; exact vs the native C++
+    Pippenger (itself oracle-tested in test_native_engine)."""
+    import jax.numpy as jnp
+
+    n = 1 << 14
+    pts = _random_points(n - 2) + [None, oc.g1_generator()]
+    ss = [int.from_bytes(RNG.bytes(31), "little") for _ in range(n - 1)] + [0]
+    aff = co.affine_from_ints(pts)
+    got = msm_mod.msm(aff, jnp.asarray(u64_to_limbs8(ints_to_u64(ss))), 254)
+    got_int = co.jac_to_ints(co.JacPoint(got.x[None], got.y[None], got.z[None]))[0]
+    want = (
+        native.g1_msm(pts, ss) if native.available() else _oracle_msm(pts, ss)
+    )
+    assert got_int == want
+
+
 @pytest.mark.slow
 def test_bucket_msm_small_matches_oracle():
     """64-bit scalars (8 windows); the sort+scan machinery compiles slowly
