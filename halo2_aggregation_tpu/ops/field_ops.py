@@ -275,6 +275,21 @@ def to_mont(a, spec: FieldSpec):
     return mont_mul(a, jnp.asarray(spec.r2), spec)
 
 
+def to_mont_chunked(a, spec: FieldSpec, chunk: int = 1 << 16):
+    """to_mont over the leading axis in slabs.  The limb-convolution
+    intermediates are ~32x the input; a single to_mont over 2^20+ rows
+    exceeds v5e HBM (measured: 16.1G needed at 2^20), while slab-wise
+    ingest keeps temps at ~chunk * 32 * 32 * 4B."""
+    n = a.shape[0]
+    if n <= chunk:
+        return to_mont(jnp.asarray(a), spec)
+    parts = [
+        to_mont(jnp.asarray(a[i : i + chunk]), spec)
+        for i in range(0, n, chunk)
+    ]
+    return jnp.concatenate(parts, axis=0)
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def from_mont(a, spec: FieldSpec):
     one = jnp.zeros_like(a).at[..., 0].set(1)

@@ -139,11 +139,12 @@ class Params:
         if self._device_points is None:
             # SRS points stay device-resident across commits: vectorized
             # u64 -> 8-bit-limb ingest + on-device Montgomery encode
-            xs = jnp.asarray(u64_to_limbs8(self.g_lagrange_u64[:, :4]))
-            ys = jnp.asarray(u64_to_limbs8(self.g_lagrange_u64[:, 4:]))
+            # (chunked: a full-SRS to_mont blows HBM at n >= 2^20)
+            xs = u64_to_limbs8(self.g_lagrange_u64[:, :4])
+            ys = u64_to_limbs8(self.g_lagrange_u64[:, 4:])
             self._device_points = co.AffinePoint(
-                fo.to_mont(xs, fo.FQ),
-                fo.to_mont(ys, fo.FQ),
+                fo.to_mont_chunked(xs, fo.FQ),
+                fo.to_mont_chunked(ys, fo.FQ),
                 jnp.asarray(self.g_lagrange_inf.astype(bool)),
             )
         res = msm_mod.msm(
