@@ -137,6 +137,66 @@ class Domain:
         return fo.mont_mul(ext_evals, self.ext_vanishing_inv, FR)
 
 
+_MASK8 = 0xFF
+
+
+@jax.jit
+def unpack8(packed):
+    """(n, 32) uint8 byte view of (n, 4)-u64 little-endian limbs ->
+    (n, 32) int32 8-bit limbs (the field_ops working format).  The byte
+    layout of 4x64-bit LE words IS the 32x8-bit LE limb sequence, so this
+    is a pure dtype widen."""
+    return packed.astype(jnp.int32)
+
+
+@jax.jit
+def pack8(limbs):
+    """(n, 32) int32 canonical 8-bit limbs -> (n, 32) uint8 for D2H
+    (host views the bytes back as (n, 4) uint64)."""
+    return limbs.astype(jnp.uint8)
+
+
+@jax.jit
+def ntt_dyn(values, twiddles, bitrev):
+    """Cooley-Tukey NTT with the twiddle tables as *runtime* arguments.
+
+    `_ntt_core` bakes the per-stage twiddles into the executable as jit
+    constants — fine at verifier sizes, but at prover sizes (k=21 the
+    tables total 256MB) the constants would bloat every compiled binary.
+    Here `twiddles` is a tuple of (2^s, 32) mont arrays (the pytree
+    structure fixes k) and `bitrev` the (n,) permutation."""
+    x = values[bitrev]
+    n = x.shape[0]
+    for s, tw in enumerate(twiddles):
+        half = 1 << s
+        m = half * 2
+        a = x.reshape(n // m, m, fo.NLIMBS)
+        lo = a[:, :half]
+        hi = a[:, half:]
+        t = fo.mont_mul(hi, jnp.broadcast_to(tw[None], hi.shape), FR)
+        x = jnp.concatenate(
+            [fo.add(lo, t, FR), fo.sub(lo, t, FR)], axis=1
+        ).reshape(n, fo.NLIMBS)
+    return x
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def pow_series_dev(base, n: int):
+    """[base^i]_{i<n} (mont in/out) via the bit ladder: log2(n) vector
+    muls, no host-side 2^k Python-int loop."""
+    idx = jnp.arange(n, dtype=jnp.int32)
+    acc = jnp.broadcast_to(jnp.asarray(FR.one_mont), (n, fo.NLIMBS)).astype(
+        jnp.int32
+    )
+    sq = base
+    for b in range(max(n.bit_length() - 1, 1)):
+        bit = ((idx >> b) & 1).astype(bool)
+        mul = fo.mont_mul(acc, jnp.broadcast_to(sq, acc.shape), FR)
+        acc = jnp.where(bit[:, None], mul, acc)
+        sq = fo.mont_mul(sq, sq, FR)
+    return acc
+
+
 @functools.partial(jax.jit, static_argnums=(2,))
 def poly_eval(coeffs, x, spec=FR):
     """Horner evaluation of a coefficient array (n, 32) at point x (32,),

@@ -54,6 +54,15 @@ from .protocol import (
 from .prover import _permute_lookup, _rand_fr
 
 
+def _use_device_quotient() -> bool:
+    """H2A_DEVICE_QUOTIENT=1 routes the per-coset quotient evaluation
+    through the TPU (plonk/quotient_device.py) — the host C++ loop stays
+    the default and the byte-exactness reference."""
+    import os
+
+    return os.environ.get("H2A_DEVICE_QUOTIENT", "0") == "1"
+
+
 def _as_plain_u64(col) -> np.ndarray:
     """Accept int lists (classic ProvingKey) or (n,4) u64 arrays."""
     if isinstance(col, np.ndarray):
@@ -280,8 +289,36 @@ def create_proof_native(
     log("coefficient transforms")
 
     h_ext_m = np.empty((ext_n, 4), np.uint64)
+    dq = None
+    if _use_device_quotient():
+        from .quotient_device import DeviceQuotient
+
+        cols = {}
+        for i, c in enumerate(adv_coeffs):
+            cols[("advice", i)] = c
+        for i, c in enumerate(fix_coeffs):
+            cols[("fixed", i)] = c
+        for i, c in enumerate(inst_coeffs):
+            cols[("instance", i)] = c
+        for i, c in enumerate(sig_coeffs):
+            cols[("sigma", i)] = c
+        for ci, c in enumerate(permz_coeffs):
+            cols[("perm_z", ci)] = c
+        for li, lc in enumerate(lookup_coeffs):
+            cols[("lookup_a", li)] = lc["a_prime"]
+            cols[("lookup_s", li)] = lc["s_prime"]
+            cols[("lookup_z", li)] = lc["z"]
+        cols[("l0", 0)] = l0_coeffs
+        cols[("llast", 0)] = llast_coeffs
+        cols[("lblind", 0)] = lblind_coeffs
+        dq = DeviceQuotient(cs, k, cols)
+        log("quotient columns uploaded to device")
     for cj in range(step):
         shift = g * pow(omega_ext, cj, R) % R
+        if dq is not None:
+            h_ext_m[cj::step] = dq.run_coset(shift, theta, beta, gamma, y)
+            log(f"quotient coset {cj + 1}/{step} (device)")
+            continue
 
         def ext(coeffs_m):
             return dom.coset_evals(coeffs_m, shift)

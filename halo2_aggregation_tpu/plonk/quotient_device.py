@@ -1,0 +1,285 @@
+"""Device (TPU) quotient pass for the scaled prover.
+
+The quotient h(X) is the prover's dominant cost at outer-circuit scale
+(k=21: the 4 coset passes are ~770s of an ~1,129s host prove on 2 cores;
+ROADMAP round-3 item 1).  Per coset the work is embarrassingly parallel
+over the 2^k rows: a size-n coset NTT per committed column, then one big
+pointwise constraint-expression evaluation — exactly the shape the TPU
+VPU wants.
+
+This module mirrors `prover_native.create_proof_native`'s per-coset block
+(prover_native.py:282-345) bit-for-bit, but runs it on the chip:
+
+  host                                  device
+  ----                                  ------
+  coefficient columns (mont u64) --H2D--> packed (n,32) uint8, ONCE
+                                         per coset:
+                                           shift-power ladder (log n muls)
+                                           coset NTT per column (ntt_dyn)
+                                           rolled leaves (jnp.roll)
+                                           gate/perm/lookup expressions
+                                             via protocol.py + LimbOps
+                                           fold_y, * 1/(shift^n - 1)
+  h coset evals (mont u64) <--D2H-- packed uint8 slabs
+
+Design notes:
+* Columns live in HBM as (n, 32) uint8 byte views of the (n, 4)-u64 mont
+  limbs — the u64 LE byte layout IS the 32x8-bit LE limb sequence, so
+  H2D costs 32B/row and unpack is a dtype widen (ops/ntt.py:unpack8).
+* Twiddle tables are runtime args (ntt_dyn), never jit constants: at
+  k=21 they total 256MB.
+* The expression pass runs in row slabs (default 2^18) so the unpacked
+  leaf working set stays ~1.5GB regardless of k.
+* Every jitted function is shape-stable across cosets AND proofs of the
+  same (cs, k): challenges, shift powers and the vanishing inverse are
+  arguments, not constants.
+
+The reference's analog is the rayon-parallel `create_proof` quotient
+evaluation inside its private halo2 fork (SURVEY.md §2b); the reference
+itself never parallelizes beyond one CPU (SURVEY.md §2d).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..fields import R, fr_omega
+from ..ops import field_ops as fo
+from ..ops import ntt as nt
+from .circuit import ConstraintSystem
+from .protocol import (
+    LimbOps,
+    LookupEvals,
+    PermutationSetEvals,
+    fold_y,
+    gate_expressions,
+    lookup_expressions,
+    permutation_expressions,
+)
+
+MONT_R = 1 << 256
+
+
+def available() -> bool:
+    try:
+        import jax  # noqa: F401
+
+        return True
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _pack_host(col_u64: np.ndarray) -> np.ndarray:
+    """(n, 4) uint64 mont -> (n, 32) uint8 byte view (zero-copy)."""
+    a = np.ascontiguousarray(col_u64, dtype="<u8")
+    return a.view(np.uint8).reshape(a.shape[0], 32)
+
+
+def _unpack_host(packed: np.ndarray) -> np.ndarray:
+    """(n, 32) uint8 -> (n, 4) uint64."""
+    return (
+        np.ascontiguousarray(packed, dtype=np.uint8)
+        .view("<u8")
+        .astype(np.uint64)
+    )
+
+
+class DeviceQuotient:
+    """One instance per (cs, k, coefficient set) == per proof.
+
+    `columns` maps leaf keys to (n, 4)-u64 Montgomery coefficient arrays:
+      ("advice", i) / ("fixed", i) / ("instance", i)  committed columns
+      ("sigma", i)                                    permutation sigmas
+      ("perm_z", ci)                                  grand products
+      ("lookup_a"|"lookup_s"|"lookup_z", li)          lookup polys
+      ("l0"|"llast"|"lblind", 0)                      Lagrange selectors
+    """
+
+    def __init__(self, cs: ConstraintSystem, k: int, columns: dict):
+        import jax
+        import jax.numpy as jnp
+
+        self.cs = cs
+        self.k = k
+        self.n = 1 << k
+        self.bf = cs.blinding_factors()
+        self.chunk_len = cs.degree() - 2
+        self.num_chunks = (
+            len(cs.permutation_columns) + self.chunk_len - 1
+        ) // self.chunk_len
+
+        plan = nt.NttPlan(k, fr_omega(k))
+        self.twiddles = tuple(jnp.asarray(t) for t in plan.stage_twiddles)
+        self.bitrev = jnp.asarray(plan.bitrev)
+
+        # upload every coefficient column once, packed
+        self.store = {
+            key: jnp.asarray(_pack_host(col)) for key, col in columns.items()
+        }
+
+        # omega powers (coset_x = shift * omega^i), computed on-device once
+        omega_m = jnp.asarray(fo.FR.to_mont(fr_omega(k)))
+        self.omega_pows = nt.pow_series_dev(omega_m, self.n)
+
+        # leaf schedule: stable, deduped (key, rot) order
+        sched: list = []
+        seen = set()
+
+        def add(key, rot):
+            if (key, rot) not in seen:
+                seen.add((key, rot))
+                sched.append((key, rot))
+
+        for c, rot in cs.advice_queries:
+            add(("advice", c.index), rot.value)
+        for c, rot in cs.fixed_queries:
+            add(("fixed", c.index), rot.value)
+        for c, rot in cs.instance_queries:
+            add(("instance", c.index), rot.value)
+        for i in range(len(cs.permutation_columns)):
+            add(("sigma", i), 0)
+        for ci in range(self.num_chunks):
+            add(("perm_z", ci), 0)
+            add(("perm_z", ci), 1)
+            if ci < self.num_chunks - 1:
+                add(("perm_z", ci), -(self.bf + 1))
+        for li in range(len(cs.lookups)):
+            add(("lookup_z", li), 0)
+            add(("lookup_z", li), 1)
+            add(("lookup_a", li), 0)
+            add(("lookup_a", li), -1)
+            add(("lookup_s", li), 0)
+        add(("l0", 0), 0)
+        add(("llast", 0), 0)
+        add(("lblind", 0), 0)
+        self.schedule = sched
+
+        self._extend_fn = jax.jit(self._extend_impl)
+        self._slab_fn = jax.jit(self._make_slab_fn())
+        self._mul_pack = jax.jit(
+            lambda a, b: nt.pack8(fo.mont_mul(a, jnp.broadcast_to(b, a.shape), fo.FR))
+        )
+
+    # -- per-column coset extension ----------------------------------------
+    @staticmethod
+    def _extend_impl(packed, shift_pows, twiddles, bitrev):
+        x = nt.unpack8(packed)
+        x = fo.mont_mul(x, shift_pows, fo.FR)
+        x = nt.ntt_dyn(x, twiddles, bitrev)
+        return nt.pack8(x)
+
+    # -- the pointwise expression pass over one row slab ---------------------
+    def _make_slab_fn(self):
+        cs = self.cs
+        schedule = list(self.schedule)
+        chunk_len = self.chunk_len
+        num_chunks = self.num_chunks
+
+        def slab_fn(leaves, coset_x, theta, beta, gamma, y, vinv):
+            ops = LimbOps()
+            vals = {
+                sk: nt.unpack8(l) for sk, l in zip(map(tuple, schedule), leaves)
+            }
+
+            def leaf(kind, idx, rot=0):
+                return vals[((kind, idx), rot)]
+
+            adv = [
+                leaf("advice", c.index, rot.value)
+                for c, rot in cs.advice_queries
+            ]
+            fix = [
+                leaf("fixed", c.index, rot.value)
+                for c, rot in cs.fixed_queries
+            ]
+            inst = [
+                leaf("instance", c.index, rot.value)
+                for c, rot in cs.instance_queries
+            ]
+            sigma = [
+                leaf("sigma", i) for i in range(len(cs.permutation_columns))
+            ]
+            l0 = leaf("l0", 0)
+            llast = leaf("llast", 0)
+            lblind = leaf("lblind", 0)
+            x = nt.unpack8(coset_x)
+
+            exprs = gate_expressions(ops, cs, adv, fix, inst)
+            perm_sets = [
+                PermutationSetEvals(
+                    z=leaf("perm_z", ci),
+                    z_next=leaf("perm_z", ci, 1),
+                    z_last=(
+                        leaf("perm_z", ci, -(self.bf + 1))
+                        if ci < num_chunks - 1
+                        else None
+                    ),
+                )
+                for ci in range(num_chunks)
+            ]
+            exprs += permutation_expressions(
+                ops, cs, perm_sets, sigma, adv, fix, inst,
+                l0, llast, lblind, beta, gamma, x, chunk_len,
+            )
+            for li, arg in enumerate(cs.lookups):
+                ev = LookupEvals(
+                    z=leaf("lookup_z", li),
+                    z_next=leaf("lookup_z", li, 1),
+                    a_prime=leaf("lookup_a", li),
+                    a_prime_prev=leaf("lookup_a", li, -1),
+                    s_prime=leaf("lookup_s", li),
+                )
+                exprs += lookup_expressions(
+                    ops, ev, arg, l0, llast, lblind,
+                    theta, beta, gamma, adv, fix, inst,
+                )
+            num = fold_y(ops, exprs, y)
+            num = ops.mul(num, vinv)
+            return nt.pack8(num)
+
+        return slab_fn
+
+    # -- driver --------------------------------------------------------------
+    def run_coset(
+        self,
+        shift: int,
+        theta: int,
+        beta: int,
+        gamma: int,
+        y: int,
+        slab_log2: int = 18,
+    ) -> np.ndarray:
+        """h-numerator/vanishing evals on the {shift * omega^i} coset,
+        returned as a (n, 4) uint64 Montgomery array (matches the value
+        prover_native stores into h_ext_m[cj::step])."""
+        import jax.numpy as jnp
+
+        n = self.n
+        shift_m = jnp.asarray(fo.FR.to_mont(shift))
+        shift_pows = nt.pow_series_dev(shift_m, n)
+        ext = {
+            key: self._extend_fn(p, shift_pows, self.twiddles, self.bitrev)
+            for key, p in self.store.items()
+        }
+        leaves_full = []
+        for key, rot in self.schedule:
+            e = ext[key]
+            leaves_full.append(jnp.roll(e, -rot, axis=0) if rot else e)
+        coset_x = self._mul_pack(self.omega_pows, shift_m)
+
+        vinv = pow((pow(shift, n, R) - 1) % R, -1, R)
+        th = jnp.asarray(fo.FR.to_mont(theta))
+        be = jnp.asarray(fo.FR.to_mont(beta))
+        ga = jnp.asarray(fo.FR.to_mont(gamma))
+        yy = jnp.asarray(fo.FR.to_mont(y))
+        vi = jnp.asarray(fo.FR.to_mont(vinv))
+
+        slab = min(1 << slab_log2, n)
+        outs = []
+        for s0 in range(0, n, slab):
+            sl = tuple(l[s0 : s0 + slab] for l in leaves_full)
+            outs.append(
+                self._slab_fn(sl, coset_x[s0 : s0 + slab], th, be, ga, yy, vi)
+            )
+        packed = np.concatenate([np.asarray(o) for o in outs], axis=0)
+        return _unpack_host(packed)

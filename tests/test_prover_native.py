@@ -41,6 +41,31 @@ def test_native_prover_byte_parity():
     assert ok
 
 
+def test_device_quotient_byte_parity(monkeypatch):
+    """H2A_DEVICE_QUOTIENT routes the per-coset quotient through the JAX
+    pass (plonk/quotient_device.py); the proof bytes must be identical to
+    the host C++ coset loop — this pins the device coset NTT, the packed
+    leaf plumbing, and the LimbOps expression evaluation at once."""
+    from halo2_aggregation_tpu.plonk.prover_native import create_proof_native
+
+    k = 9
+    params = kzg.setup(k)
+    circuit = se.MyCircuit(constant=7, a=2, b=3)
+    cs_e, _, asg_e = se.build(circuit.without_witnesses(), k=k)
+    vk, pk = keygen(params, cs_e, asg_e)
+    pub = [circuit.public_output()]
+
+    _, _, asg1 = se.build(circuit, k=k)
+    ref = create_proof_native(params, pk, asg1, [pub], seed=42)
+    _, _, asg2 = se.build(circuit, k=k)
+    monkeypatch.setenv("H2A_DEVICE_QUOTIENT", "1")
+    got = create_proof_native(params, pk, asg2, [pub], seed=42)
+    assert got == ref, "device quotient diverged from the host coset loop"
+
+    ok, _ = verify_proof(params, vk, [pub], got)
+    assert ok
+
+
 def test_keygen_native_matches_keygen():
     from halo2_aggregation_tpu.plonk.keygen import keygen_native
     from halo2_aggregation_tpu.plonk.engine import col_to_ints
