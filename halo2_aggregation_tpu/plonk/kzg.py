@@ -134,14 +134,15 @@ class Params:
         from ..ops import curve_ops as co
         from ..ops import field_ops as fo
         from ..ops import msm as msm_mod
-        from ..utils.u64 import u64_to_limbs8
+        from ..utils.u64 import u64_view8
 
         if self._device_points is None:
-            # SRS points stay device-resident across commits: vectorized
-            # u64 -> 8-bit-limb ingest + on-device Montgomery encode
-            # (chunked: a full-SRS to_mont blows HBM at n >= 2^20)
-            xs = u64_to_limbs8(self.g_lagrange_u64[:, :4])
-            ys = u64_to_limbs8(self.g_lagrange_u64[:, 4:])
+            # SRS points stay device-resident across commits: uint8 byte
+            # views over the tunnel (32B/row), widened to int32 limbs +
+            # Montgomery-encoded on-device (chunked: a full-SRS to_mont
+            # blows HBM at n >= 2^20)
+            xs = jnp.asarray(u64_view8(self.g_lagrange_u64[:, :4])).astype(jnp.int32)
+            ys = jnp.asarray(u64_view8(self.g_lagrange_u64[:, 4:])).astype(jnp.int32)
             self._device_points = co.AffinePoint(
                 fo.to_mont_chunked(xs, fo.FQ),
                 fo.to_mont_chunked(ys, fo.FQ),
@@ -149,7 +150,7 @@ class Params:
             )
         res = msm_mod.msm(
             self._device_points,
-            jnp.asarray(u64_to_limbs8(scalars_u64)),
+            jnp.asarray(u64_view8(scalars_u64)).astype(jnp.int32),
             nbits=254,
         )
         return co.jac_to_ints(co.JacPoint(res.x[None], res.y[None], res.z[None]))[0]

@@ -74,6 +74,14 @@ def u64_to_limbs8(arr: np.ndarray) -> np.ndarray:
     return a.view(np.uint8).reshape(a.shape[0], 32).astype(np.int32)
 
 
+def u64_view8(arr: np.ndarray) -> np.ndarray:
+    """(n, 4) uint64 -> (n, 32) uint8 zero-copy byte view.  The H2D-cheap
+    form of u64_to_limbs8: ship 32 bytes/row over the tunnel and widen to
+    int32 on-device (4x less transfer than shipping int32 limbs)."""
+    a = np.ascontiguousarray(arr, dtype="<u8")
+    return a.view(np.uint8).reshape(a.shape[0], 32)
+
+
 def limbs8_to_u64(limbs: np.ndarray) -> np.ndarray:
     """(n, 32) int32 8-bit limbs -> (n, 4) uint64."""
     b = np.asarray(limbs, dtype=np.int32).astype(np.uint8)
