@@ -238,6 +238,33 @@ def mont_mul(a, b, spec: FieldSpec):
     return cond_sub_p(res, spec)
 
 
+#: above this many rows, mont_mul's limb-conv temps (~rows * 8KB: the
+#: (rows, 32, 64) padded skew tensor, twice live) threaten v5e HBM —
+#: measured OOM at 2^21 rows (32.3GB needed).
+_BIG_ROWS = 1 << 18
+
+
+def mont_mul_big(a, b, spec: FieldSpec, chunk: int = 1 << 17):
+    """mont_mul with bounded convolution temps for prover-scale arrays.
+
+    Above _BIG_ROWS total rows the product is computed in `chunk`-row
+    slabs via lax.map — sequential inside one executable, so XLA reuses
+    the slab temp buffers (~chunk * 8KB each) instead of materializing
+    the full (rows, 32, 64) conv tensor.  Safe under jit and eager;
+    falls back to plain mont_mul when rows don't divide evenly (all
+    prover call sites are power-of-two sized)."""
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    rows = 1
+    for d in shape[:-1]:
+        rows *= d
+    if rows <= _BIG_ROWS or rows % chunk:
+        return mont_mul(a, b, spec)
+    af = jnp.broadcast_to(a, shape).reshape(rows // chunk, chunk, NLIMBS)
+    bf = jnp.broadcast_to(b, shape).reshape(rows // chunk, chunk, NLIMBS)
+    out = lax.map(lambda ab: mont_mul(ab[0], ab[1], spec), (af, bf))
+    return out.reshape(shape)
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def mont_sq(a, spec: FieldSpec):
     return mont_mul(a, a, spec)

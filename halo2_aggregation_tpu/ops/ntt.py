@@ -164,7 +164,9 @@ def ntt_dyn(values, twiddles, bitrev):
     constants — fine at verifier sizes, but at prover sizes (k=21 the
     tables total 256MB) the constants would bloat every compiled binary.
     Here `twiddles` is a tuple of (2^s, 32) mont arrays (the pytree
-    structure fixes k) and `bitrev` the (n,) permutation."""
+    structure fixes k) and `bitrev` the (n,) permutation.  Twiddle muls
+    go through mont_mul_big so stage temps stay bounded at prover sizes
+    (a full-width mul at n = 2^21 alone needs 32GB of conv temps)."""
     x = values[bitrev]
     n = x.shape[0]
     for s, tw in enumerate(twiddles):
@@ -173,7 +175,7 @@ def ntt_dyn(values, twiddles, bitrev):
         a = x.reshape(n // m, m, fo.NLIMBS)
         lo = a[:, :half]
         hi = a[:, half:]
-        t = fo.mont_mul(hi, jnp.broadcast_to(tw[None], hi.shape), FR)
+        t = fo.mont_mul_big(hi, jnp.broadcast_to(tw[None], hi.shape), FR)
         x = jnp.concatenate(
             [fo.add(lo, t, FR), fo.sub(lo, t, FR)], axis=1
         ).reshape(n, fo.NLIMBS)
@@ -183,7 +185,8 @@ def ntt_dyn(values, twiddles, bitrev):
 @functools.partial(jax.jit, static_argnums=(1,))
 def pow_series_dev(base, n: int):
     """[base^i]_{i<n} (mont in/out) via the bit ladder: log2(n) vector
-    muls, no host-side 2^k Python-int loop."""
+    muls, no host-side 2^k Python-int loop.  Ladder muls are slab-bounded
+    (mont_mul_big) so the series fits HBM at prover sizes."""
     idx = jnp.arange(n, dtype=jnp.int32)
     acc = jnp.broadcast_to(jnp.asarray(FR.one_mont), (n, fo.NLIMBS)).astype(
         jnp.int32
@@ -191,7 +194,7 @@ def pow_series_dev(base, n: int):
     sq = base
     for b in range(max(n.bit_length() - 1, 1)):
         bit = ((idx >> b) & 1).astype(bool)
-        mul = fo.mont_mul(acc, jnp.broadcast_to(sq, acc.shape), FR)
+        mul = fo.mont_mul_big(acc, jnp.broadcast_to(sq, acc.shape), FR)
         acc = jnp.where(bit[:, None], mul, acc)
         sq = fo.mont_mul(sq, sq, FR)
     return acc

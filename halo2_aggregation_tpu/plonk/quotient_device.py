@@ -157,14 +157,16 @@ class DeviceQuotient:
         self._extend_fn = jax.jit(self._extend_impl)
         self._slab_fn = jax.jit(self._make_slab_fn())
         self._mul_pack = jax.jit(
-            lambda a, b: nt.pack8(fo.mont_mul(a, jnp.broadcast_to(b, a.shape), fo.FR))
+            lambda a, b: nt.pack8(
+                fo.mont_mul_big(a, jnp.broadcast_to(b, a.shape), fo.FR)
+            )
         )
 
     # -- per-column coset extension ----------------------------------------
     @staticmethod
     def _extend_impl(packed, shift_pows, twiddles, bitrev):
         x = nt.unpack8(packed)
-        x = fo.mont_mul(x, shift_pows, fo.FR)
+        x = fo.mont_mul_big(x, shift_pows, fo.FR)
         x = nt.ntt_dyn(x, twiddles, bitrev)
         return nt.pack8(x)
 

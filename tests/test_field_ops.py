@@ -94,3 +94,27 @@ def test_is_zero_eq_select():
     m = jnp.asarray([True, False, True])
     got = limbs_to_ints(fo.select(m, a, b))
     assert got == [0, 5, 0]
+
+
+def test_mont_mul_big_chunked_matches(monkeypatch):
+    """mont_mul_big's lax.map slab path (used by prover-scale NTT stages
+    and power series, where full-width conv temps OOM HBM) must be
+    bit-identical to plain mont_mul.  Threshold lowered so the chunked
+    branch actually runs at test size."""
+    monkeypatch.setattr(fo, "_BIG_ROWS", 8)
+    p = fo.FR.p
+    a_int = rand_elems(32, p)
+    b_int = rand_elems(32, p)
+    a = jnp.asarray(ints_to_limbs(mont(a_int, p)))
+    b = jnp.asarray(ints_to_limbs(mont(b_int, p)))
+    got = np.asarray(fo.mont_mul_big(a, b, fo.FR, chunk=8))
+    want = np.asarray(fo.mont_mul(a, b, fo.FR))
+    assert (got == want).all()
+    # broadcast operand (the NTT twiddle / shift-pows shape)
+    got2 = np.asarray(fo.mont_mul_big(a, b[:1], fo.FR, chunk=8))
+    want2 = np.asarray(fo.mont_mul(a, jnp.broadcast_to(b[:1], a.shape), fo.FR))
+    assert (got2 == want2).all()
+    # 3D shape as in ntt_dyn stages
+    a3 = a.reshape(4, 8, -1)
+    got3 = np.asarray(fo.mont_mul_big(a3, b.reshape(4, 8, -1), fo.FR, chunk=8))
+    assert (got3.reshape(32, -1) == want).all()
