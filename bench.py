@@ -226,7 +226,12 @@ def main():
     )
     assert got_msm == want_msm, "device MSM diverges from native Pippenger"
     pallas_msm = os.environ.get("H2A_PALLAS_MSM", "1") == "1"
-    msm_adds = n_msm * 64 if pallas_msm else 2 * n_msm * 32
+    # algorithmic point-adds: one per point per window — 52 signed 5-bit
+    # windows (default kernel) / 64 unsigned 4-bit / ~2N per 8-bit XLA window
+    msm_signed = os.environ.get("H2A_MSM_SIGNED", "1") == "1"
+    msm_adds = (
+        n_msm * (52 if msm_signed else 64) if pallas_msm else 2 * n_msm * 32
+    )
     msm_rate, msm_t = median_rate(lambda: msm_once(), msm_adds, trials=2)
 
     # --- host baseline: same algebra, single thread, python ints ----------

@@ -201,6 +201,39 @@ def _jac_add(fc, x1, y1, z1, x2, y2, z2):
     return x3, y3, z3
 
 
+def _jac_add_mixed(fc, x1, y1, z1, x2, y2):
+    """Jacobian + affine (z2 == 1) add: 11 mont_muls vs _jac_add's 16
+    (plus the shared branchless double path), the classic 'madd'
+    saving — the MSM kernel's streamed points are always affine.
+    Handles bucket-at-infinity (z1 == 0 -> (x2, y2, 1)) and the
+    bucket==point case (h == r == 0 -> double); P + (-P) falls out as
+    z3 = z1*h = 0."""
+    z1z1 = _mont_mul(fc, z1, z1)
+    u2 = _mont_mul(fc, x2, z1z1)
+    s2 = _mont_mul(fc, y2, _mont_mul(fc, z1, z1z1))
+    h = _sub(fc, u2, x1)
+    r = _sub(fc, s2, y1)
+    h2 = _mont_mul(fc, h, h)
+    h3 = _mont_mul(fc, h2, h)
+    u1h2 = _mont_mul(fc, x1, h2)
+    x3 = _sub(fc, _sub(fc, _mont_mul(fc, r, r), h3), _add(fc, u1h2, u1h2))
+    y3 = _sub(fc, _mont_mul(fc, r, _sub(fc, u1h2, x3)), _mont_mul(fc, y1, h3))
+    z3 = _mont_mul(fc, z1, h)
+
+    p_inf = _is_zero(fc, z1)
+    h0 = _is_zero(fc, h)
+    r0 = _is_zero(fc, r)
+    dbl = _jac_double(fc, x1, y1, z1)
+    use_dbl = (~p_inf) & h0 & r0
+    x3 = _sel(use_dbl, dbl[0], x3)
+    y3 = _sel(use_dbl, dbl[1], y3)
+    z3 = _sel(use_dbl, dbl[2], z3)
+    x3 = _sel(p_inf, x2, x3)
+    y3 = _sel(p_inf, y2, y3)
+    z3 = _sel(p_inf, fc[_ONE], z3)
+    return x3, y3, z3
+
+
 def _ladder_kernel(nbits, p_ref, pinv_ref, twop_ref, comp2p_ref, one_ref,
                    px_ref, py_ref, pz_ref, s_ref,
                    ox_ref, oy_ref, oz_ref):
@@ -372,6 +405,120 @@ def _msm_kernel(n_steps, wpg, p_ref, pinv_ref, twop_ref, comp2p_ref, one_ref,
         obx_ref[:] = bx_ref[:]
         oby_ref[:] = by_ref[:]
         obz_ref[:] = bz_ref[:]
+
+
+def _msm_kernel_s5(n_steps, wpg, kfold, p_ref, pinv_ref, twop_ref, comp2p_ref,
+                   one_ref, px_ref, py_ref, d_ref,
+                   obx_ref, oby_ref, obz_ref,
+                   bx_ref, by_ref, bz_ref):
+    """Signed 5-bit-digit bucket pass with mixed (affine) adds.
+
+    Two upgrades over `_msm_kernel` (ROADMAP 'Device MSM status'):
+      * signed 5-bit windows: 52 windows instead of 64 -> 19% fewer
+        point-adds, the kernel's dominant cost.  Digits are recoded to
+        d in [-16, 15] on-device in XLA (`signed_windows_dev`) and
+        streamed as (n_win, T) encoded tiles (|d| in bits 0-4, sign in
+        bit 5); negation is one `_sub` per step (y -> -y), shared by
+        all windows.
+      * `_jac_add_mixed` (z2 == 1): 18 mont_muls per bucket add vs the
+        full add's 23.
+
+    Buckets per window: 17 (|d| = 0..16; 0 is the dump row, never
+    folded — zero digits, zero scalars, padding lanes and pre-zeroed
+    infinity inputs are all inert).  Bucket gather is a 4-level select
+    tree over |d| bits 0-3 plus one final select for |d| == 16."""
+    g = pl.program_id(0)
+    s_id = pl.program_id(1)
+    fc = (p_ref[:], pinv_ref[:], twop_ref[:], comp2p_ref[:], one_ref[:])
+    one = fc[_ONE]
+    nb = 17  # buckets per signed 5-bit window
+
+    @pl.when(s_id == 0)
+    def _init():
+        for j in range(wpg * nb):
+            rows = slice(j * NLIMBS, (j + 1) * NLIMBS)
+            bx_ref[rows] = one
+            by_ref[rows] = one
+            bz_ref[rows] = jnp.zeros_like(one)
+
+    px, py = px_ref[:], py_ref[:]
+    pyn = _sub(fc, jnp.zeros_like(py), py)  # -y, shared across windows
+    enc = d_ref[:]  # (n_win, T) encoded digits
+    n_win = enc.shape[0]
+    win_ids = lax.broadcasted_iota(jnp.int32, (n_win, 1), 0)
+
+    for j in range(wpg):
+        widx = g * wpg + j
+        ev = jnp.sum(
+            jnp.where(win_ids == widx, enc, 0), axis=0, keepdims=True
+        )  # (1, T)
+        mag = ev & 31
+        sign = ((ev >> 5) & 1).astype(bool)
+
+        base = j * nb
+        row = lambda k: slice((base + k) * NLIMBS, (base + k + 1) * NLIMBS)
+        bukx = [bx_ref[row(k)] for k in range(nb)]
+        buky = [by_ref[row(k)] for k in range(nb)]
+        bukz = [bz_ref[row(k)] for k in range(nb)]
+
+        curx, cury, curz = bukx[:16], buky[:16], bukz[:16]
+        for bit in range(4):
+            m = ((mag >> bit) & 1).astype(bool)
+            curx = [_sel(m, curx[2 * i + 1], curx[2 * i]) for i in range(len(curx) // 2)]
+            cury = [_sel(m, cury[2 * i + 1], cury[2 * i]) for i in range(len(cury) // 2)]
+            curz = [_sel(m, curz[2 * i + 1], curz[2 * i]) for i in range(len(curz) // 2)]
+        m16 = mag >= 16
+        cx = _sel(m16, bukx[16], curx[0])
+        cy = _sel(m16, buky[16], cury[0])
+        cz = _sel(m16, bukz[16], curz[0])
+
+        y_eff = _sel(sign, pyn, py)
+        nx, ny, nz = _jac_add_mixed(fc, cx, cy, cz, px, y_eff)
+
+        for k in range(nb):
+            m = mag == k
+            bx_ref[row(k)] = _sel(m, nx, bukx[k])
+            by_ref[row(k)] = _sel(m, ny, buky[k])
+            bz_ref[row(k)] = _sel(m, nz, bukz[k])
+
+    @pl.when(s_id == n_steps - 1)
+    def _dump():
+        if not kfold:
+            obx_ref[:] = bx_ref[:]
+            oby_ref[:] = by_ref[:]
+            obz_ref[:] = bz_ref[:]
+            return
+        # in-kernel Pippenger fold: tot_j = sum_{m=1}^{16} m * bucket_m
+        # via running + suffix sums (fori_loop keeps the trace to 2 adds;
+        # bucket[m] gathered with 16 scalar-predicate selects).  Replaces
+        # ~0.9s of tiny sequential XLA point-ops with ~ms of VMEM work.
+        t = px_ref[:].shape[1]
+        zero = jnp.zeros((NLIMBS, t), jnp.int32)
+        ident = (zero + one, zero + one, zero)
+        for j in range(wpg):
+            base = j * nb
+            row = lambda k: slice((base + k) * NLIMBS, (base + k + 1) * NLIMBS)
+
+            def fbody(i, carry):
+                rx, ry, rz, tx, ty, tz = carry
+                m = 16 - i
+                sx = bx_ref[row(1)]
+                sy = by_ref[row(1)]
+                sz = bz_ref[row(1)]
+                for k in range(2, nb):
+                    cond = m == k
+                    sx = jnp.where(cond, bx_ref[row(k)], sx)
+                    sy = jnp.where(cond, by_ref[row(k)], sy)
+                    sz = jnp.where(cond, bz_ref[row(k)], sz)
+                rx, ry, rz = _jac_add(fc, rx, ry, rz, sx, sy, sz)
+                tx, ty, tz = _jac_add(fc, tx, ty, tz, rx, ry, rz)
+                return rx, ry, rz, tx, ty, tz
+
+            out = lax.fori_loop(0, nb - 1, fbody, (*ident, *ident))
+            orow = slice(j * NLIMBS, (j + 1) * NLIMBS)
+            obx_ref[orow] = out[3]
+            oby_ref[orow] = out[4]
+            obz_ref[orow] = out[5]
 
 
 def _final_kernel(comp_p_ref, x_ref, o_ref):
@@ -624,6 +771,181 @@ def msm_bucket_pallas(xs, ys, scalars, nbits=254, tile=128, interpret=False):
 
     def hstep(acc, w):
         for _ in range(4):
+            acc = jac_double(acc)
+        return jac_add(acc, w), None
+
+    acc, _ = lax.scan(hstep, jac_identity(()), wrev)
+    return acc
+
+
+def signed_windows_dev(scalars, nbits=254, width=5, pad_to=4):
+    """Recode (N, 32) 8-bit-limb scalars into signed `width`-bit digits,
+    on-device in XLA: d_j in [-2^(w-1), 2^(w-1)) with
+    sum_j d_j * 2^(w*j) == scalar.  Returns (n_win, N) int32 encoded as
+    |d| | (sign << 5); n_win = ceil(nbits/width) + 1 (carry headroom),
+    padded to a multiple of `pad_to` with zero digits (dump-bucket
+    inert)."""
+    scalars = jnp.asarray(scalars, jnp.int32)
+    n = scalars.shape[0]
+    n_win = -(-nbits // width) + 1
+    n_win += (-n_win) % pad_to
+    mask = (1 << width) - 1
+    raws = []
+    for w in range(n_win):
+        lo = width * w
+        limb0 = lo // LIMB_BITS
+        off = lo % LIMB_BITS
+        if limb0 >= NLIMBS:
+            raws.append(jnp.zeros((n,), jnp.int32))
+            continue
+        v = scalars[:, limb0] >> off
+        if off + width > LIMB_BITS and limb0 + 1 < NLIMBS:
+            v = v | (scalars[:, limb0 + 1] << (LIMB_BITS - off))
+        raws.append(v & mask)
+    raw = jnp.stack(raws, axis=0)  # (n_win, N)
+    half = 1 << (width - 1)
+
+    def step(c, r):
+        d = r + c
+        co = (d >= half).astype(jnp.int32)
+        d = d - (co << width)
+        encd = jnp.abs(d) | (jnp.where(d < 0, 1, 0) << 5)
+        return co, encd
+
+    _, enc = lax.scan(step, jnp.zeros((n,), jnp.int32), raw)
+    return enc
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def msm_bucket_pallas_s5(xs, ys, scalars, nbits=254, tile=128, interpret=False,
+                         kfold=True):
+    """Pippenger MSM with signed 5-bit digits + mixed adds — the upgraded
+    default over `msm_bucket_pallas` (52 windows instead of 64, 18
+    mont_muls per bucket add instead of 23; ~1.6x fewer VPU multiplies
+    per point).  Same contract: (N, 32) Montgomery affine limbs
+    (infinity via zeroed scalars), (N, 32) plain scalar limbs, returns
+    one canonical-form JacPoint.
+
+    kfold=True runs the per-window bucket fold inside the kernel's last
+    grid step (VMEM-resident) and dumps only one folded point per window;
+    the XLA side then just tree-reduces lanes and Horners windows."""
+    from .curve_ops import JacPoint, jac_add, jac_double, jac_identity
+
+    n = xs.shape[0]
+    assert n % tile == 0
+    wpg = 4
+    enc = signed_windows_dev(scalars, nbits, 5, wpg)
+    n_win = enc.shape[0]
+    n_grp = n_win // wpg
+    n_steps = n // tile
+    nb = 17
+    rows_pg = wpg * nb * NLIMBS
+    out_rows_pg = wpg * NLIMBS if kfold else rows_pg
+
+    def tconst(vals32):
+        return jnp.asarray(
+            np.tile(np.asarray(vals32, np.int32).reshape(NLIMBS, 1), (1, tile))
+        )
+
+    p_int = Q
+    consts = [
+        tconst(FQ.p_limbs),
+        tconst(FQ.p_inv_neg),
+        tconst(_ints_to_cols(2 * p_int, NLIMBS)),
+        tconst(_ints_to_cols((1 << 256) - 2 * p_int, NLIMBS)),
+        tconst(FQ.one_mont),
+    ]
+    comp_p = tconst(_ints_to_cols((1 << 256) - p_int, NLIMBS))
+
+    bs = lambda: pl.BlockSpec(
+        (NLIMBS, tile), lambda g, s: (0, s), memory_space=pltpu.VMEM
+    )
+    ds = pl.BlockSpec((n_win, tile), lambda g, s: (0, s), memory_space=pltpu.VMEM)
+    cs_spec = lambda: pl.BlockSpec(
+        (NLIMBS, tile), lambda g, s: (0, 0), memory_space=pltpu.VMEM
+    )
+    os_spec = lambda: pl.BlockSpec(
+        (out_rows_pg, tile), lambda g, s: (g, 0), memory_space=pltpu.VMEM
+    )
+
+    tr = lambda a: a.T  # (N, 32) -> (32, N)
+    buckets = pl.pallas_call(
+        functools.partial(_msm_kernel_s5, n_steps, wpg, kfold),
+        grid=(n_grp, n_steps),
+        in_specs=[cs_spec() for _ in range(5)] + [bs(), bs(), ds],
+        out_specs=(os_spec(), os_spec(), os_spec()),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((n_grp * out_rows_pg, tile), jnp.int32)
+            for _ in range(3)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows_pg, tile), jnp.int32) for _ in range(3)
+        ],
+        interpret=interpret,
+    )(*consts, tr(xs), tr(ys), enc)
+
+    fin_bs = pl.BlockSpec(
+        (NLIMBS, tile), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    fin_cs = pl.BlockSpec(
+        (NLIMBS, tile), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    canon = lambda a: pl.pallas_call(
+        _final_kernel,
+        grid=(n_grp * out_rows_pg // NLIMBS,),
+        in_specs=[fin_cs, fin_bs],
+        out_specs=fin_bs,
+        out_shape=jax.ShapeDtypeStruct((n_grp * out_rows_pg, tile), jnp.int32),
+        interpret=interpret,
+    )(comp_p, a)
+
+    if kfold:
+        # already folded per window in-kernel: (n_win*NLIMBS, T) -> (n_win, T, 32)
+        shape = lambda a: jnp.transpose(
+            canon(a).reshape(n_win, NLIMBS, tile), (0, 2, 1)
+        )
+        tot = JacPoint(*(shape(c) for c in buckets))
+    else:
+        # (rows, T) -> (n_win, nb, T, 32) bucket points; drop the dump row
+        shape = lambda a: jnp.transpose(
+            canon(a).reshape(n_win, nb, NLIMBS, tile), (0, 1, 3, 2)
+        )
+        B = JacPoint(*(shape(c) for c in buckets))
+
+        # fold per window: sum_{m=1}^{16} m * bucket_m via running+suffix sums
+        rev = JacPoint(
+            B.x[:, :0:-1], B.y[:, :0:-1], B.z[:, :0:-1]
+        )  # magnitudes 16..1
+        rev = JacPoint(
+            jnp.moveaxis(rev.x, 1, 0),
+            jnp.moveaxis(rev.y, 1, 0),
+            jnp.moveaxis(rev.z, 1, 0),
+        )
+        ident = jac_identity((n_win, tile))
+
+        def fstep(carry, b):
+            run, tot_ = carry
+            run = jac_add(run, b)
+            tot_ = jac_add(tot_, run)
+            return (run, tot_), None
+
+        (_, tot), _ = lax.scan(fstep, (ident, ident), rev)
+
+    # cross-lane tree reduction over T, batched over windows
+    t = tile
+    while t > 1:
+        t //= 2
+        tot = jac_add(
+            JacPoint(tot.x[:, :t], tot.y[:, :t], tot.z[:, :t]),
+            JacPoint(tot.x[:, t:], tot.y[:, t:], tot.z[:, t:]),
+        )
+    wsums = JacPoint(tot.x[:, 0], tot.y[:, 0], tot.z[:, 0])  # (n_win, 32)
+
+    # Horner across windows, high -> low: acc = 32*acc + w
+    wrev = JacPoint(wsums.x[::-1], wsums.y[::-1], wsums.z[::-1])
+
+    def hstep(acc, w):
+        for _ in range(5):
             acc = jac_double(acc)
         return jac_add(acc, w), None
 

@@ -75,7 +75,13 @@ def msm_pallas(
 
     Infinity inputs contribute 0, so their scalars are zeroed (digit-0
     entries land in the kernel's dump bucket); padding lanes get a dummy
-    (1, 1) 'point' with scalar 0, inert for the same reason."""
+    (1, 1) 'point' with scalar 0, inert for the same reason.
+
+    Default kernel: signed 5-bit digits + mixed adds (~1.6x fewer VPU
+    multiplies per point); H2A_MSM_SIGNED=0 falls back to the unsigned
+    4-bit kernel."""
+    import os
+
     from . import ec_pallas as ep
     from . import field_ops as fo
 
@@ -92,6 +98,11 @@ def msm_pallas(
         ys = jnp.concatenate([ys, one], 0)
         scalars = jnp.concatenate(
             [scalars, jnp.zeros((pad, NLIMBS), jnp.int32)], 0
+        )
+    if os.environ.get("H2A_MSM_SIGNED", "1") == "1":
+        kfold = os.environ.get("H2A_MSM_KFOLD", "1") == "1"
+        return ep.msm_bucket_pallas_s5(
+            xs, ys, scalars, nbits, tile, interpret, kfold
         )
     return ep.msm_bucket_pallas(xs, ys, scalars, nbits, tile, interpret)
 

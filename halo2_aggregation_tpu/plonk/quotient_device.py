@@ -177,8 +177,18 @@ class DeviceQuotient:
         chunk_len = self.chunk_len
         num_chunks = self.num_chunks
 
+        class _SlabOps(LimbOps):
+            """Expression muls in lax.map slabs: at slab = 2^18 rows the
+            expression DAG holds ~12 independent products live, and
+            full-width conv temps (2GB each) blow HBM (measured 24.1GB
+            at k=21).  Chunked muls cap each product's temps at ~256MB
+            and XLA reuses the map body's buffers across iterations."""
+
+            def mul(self, a, b):
+                return self.fo.mont_mul_big(a, b, self.FR, chunk=1 << 15)
+
         def slab_fn(leaves, coset_x, theta, beta, gamma, y, vinv):
-            ops = LimbOps()
+            ops = _SlabOps()
             vals = {
                 sk: nt.unpack8(l) for sk, l in zip(map(tuple, schedule), leaves)
             }
