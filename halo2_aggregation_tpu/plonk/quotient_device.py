@@ -154,7 +154,19 @@ class DeviceQuotient:
         add(("lblind", 0), 0)
         self.schedule = sched
 
-        self._extend_fn = jax.jit(self._extend_impl)
+        # The coset extension runs as a Python-driven pipeline of SMALL
+        # jitted pieces (pre: unpack+shift-mul+bit-reverse; 3 NTT stages
+        # per call; post: pack) rather than one 21-stage executable: the
+        # monolithic plan keeps too many (n, 32)-int32 stage buffers live
+        # at k=21 and exhausts HBM at runtime even though each op's temps
+        # are slab-bounded.  Per-call liveness is ~3 stage buffers.
+        self._pre_fn = jax.jit(
+            lambda p, sp, br: fo.mont_mul_big(
+                nt.unpack8(p), sp, fo.FR, chunk=1 << 16
+            )[br]
+        )
+        self._stage_fn = jax.jit(self._stage_group)
+        self._pack_fn = jax.jit(nt.pack8)
         self._slab_fn = jax.jit(self._make_slab_fn())
         self._mul_pack = jax.jit(
             lambda a, b: nt.pack8(
@@ -164,11 +176,32 @@ class DeviceQuotient:
 
     # -- per-column coset extension ----------------------------------------
     @staticmethod
-    def _extend_impl(packed, shift_pows, twiddles, bitrev):
-        x = nt.unpack8(packed)
-        x = fo.mont_mul_big(x, shift_pows, fo.FR)
-        x = nt.ntt_dyn(x, twiddles, bitrev)
-        return nt.pack8(x)
+    def _stage_group(x, tws):
+        """Apply a group of consecutive CT butterfly stages; `tws` is a
+        tuple of (2^s, 32) twiddle tables (shapes fix the stage indices)."""
+        import jax.numpy as jnp
+
+        n = x.shape[0]
+        for tw in tws:
+            half = tw.shape[0]
+            m = half * 2
+            a = x.reshape(n // m, m, fo.NLIMBS)
+            lo = a[:, :half]
+            hi = a[:, half:]
+            t = fo.mont_mul_big(
+                hi, jnp.broadcast_to(tw[None], hi.shape), fo.FR, chunk=1 << 16
+            )
+            x = jnp.concatenate(
+                [fo.add(lo, t, fo.FR), fo.sub(lo, t, fo.FR)], axis=1
+            ).reshape(n, fo.NLIMBS)
+        return x
+
+    def _extend(self, packed, shift_pows, stages_per_call=3):
+        x = self._pre_fn(packed, shift_pows, self.bitrev)
+        k = len(self.twiddles)
+        for s0 in range(0, k, stages_per_call):
+            x = self._stage_fn(x, tuple(self.twiddles[s0 : s0 + stages_per_call]))
+        return self._pack_fn(x)
 
     # -- the pointwise expression pass over one row slab ---------------------
     def _make_slab_fn(self):
@@ -269,10 +302,18 @@ class DeviceQuotient:
         n = self.n
         shift_m = jnp.asarray(fo.FR.to_mont(shift))
         shift_pows = nt.pow_series_dev(shift_m, n)
-        ext = {
-            key: self._extend_fn(p, shift_pows, self.twiddles, self.bitrev)
-            for key, p in self.store.items()
-        }
+        # Force each extend to EXECUTE before enqueueing the next: the axon
+        # backend defers all work until a D2H, and a single deferred graph
+        # of 23 extends + 8 slab passes exhausts HBM at k=21 (every slab's
+        # input slices live at once).  A 1-element D2H per step keeps the
+        # live set to {packed store, ext columns, one executable's temps}.
+        def force(arr):
+            np.asarray(arr[:1, :1])
+            return arr
+
+        ext = {}
+        for key, p in self.store.items():
+            ext[key] = force(self._extend(p, shift_pows))
         leaves_full = []
         for key, rot in self.schedule:
             e = ext[key]
@@ -291,7 +332,9 @@ class DeviceQuotient:
         for s0 in range(0, n, slab):
             sl = tuple(l[s0 : s0 + slab] for l in leaves_full)
             outs.append(
-                self._slab_fn(sl, coset_x[s0 : s0 + slab], th, be, ga, yy, vi)
+                np.asarray(
+                    self._slab_fn(sl, coset_x[s0 : s0 + slab], th, be, ga, yy, vi)
+                )
             )
-        packed = np.concatenate([np.asarray(o) for o in outs], axis=0)
+        packed = np.concatenate(outs, axis=0)
         return _unpack_host(packed)
