@@ -96,6 +96,8 @@ class DeviceQuotient:
     """
 
     def __init__(self, cs: ConstraintSystem, k: int, columns: dict):
+        import os
+
         import jax
         import jax.numpy as jnp
 
@@ -109,13 +111,45 @@ class DeviceQuotient:
         ) // self.chunk_len
 
         plan = nt.NttPlan(k, fr_omega(k))
-        self.twiddles = tuple(jnp.asarray(t) for t in plan.stage_twiddles)
+        self.plan = plan
         self.bitrev = jnp.asarray(plan.bitrev)
 
-        # upload every coefficient column once, packed
-        self.store = {
-            key: jnp.asarray(_pack_host(col)) for key, col in columns.items()
-        }
+        # Pallas NTT engine on TPU (ops/ntt_pallas.py): the staged-XLA
+        # extension below is HBM-bound (~18s per k=21 column, no better
+        # than the host); the Pallas path runs all columns per coset in
+        # ~16 fused-butterfly kernel calls.  CPU (tests) keeps XLA.
+        from ..ops import ntt_pallas as ntp
+
+        on_tpu = any(
+            kk in jax.default_backend().lower() for kk in ("tpu", "axon")
+        ) or jax.devices()[0].platform.lower() in ("tpu", "axon")
+        self.use_pallas = (
+            on_tpu
+            and k >= ntp.LOCAL_STAGES
+            and os.environ.get("H2A_PALLAS_NTT", "1") == "1"
+        )
+        self._ntp = ntp
+
+        self.keys = list(columns.keys())
+        self.key_idx = {key: i for i, key in enumerate(self.keys)}
+        self.C = len(self.keys)
+        if self.use_pallas:
+            self.twiddles = None
+            self.tws = ntp.prep_twiddles(plan)
+            self.store_stack = jnp.asarray(
+                ntp.pack_columns_bitrev(
+                    [columns[key] for key in self.keys], plan.bitrev
+                )
+            )
+            np.asarray(self.store_stack[:1, :1])  # force upload
+            self._shift_pows_cache: dict = {}
+        else:
+            self.twiddles = tuple(jnp.asarray(t) for t in plan.stage_twiddles)
+            # upload every coefficient column once, packed
+            self.store = {
+                key: jnp.asarray(_pack_host(col))
+                for key, col in columns.items()
+            }
 
         # omega powers (coset_x = shift * omega^i), computed on-device once
         omega_m = jnp.asarray(fo.FR.to_mont(fr_omega(k)))
@@ -220,10 +254,19 @@ class DeviceQuotient:
             def mul(self, a, b):
                 return self.fo.mont_mul_big(a, b, self.FR, chunk=1 << 15)
 
+        transposed = self.use_pallas
+
         def slab_fn(leaves, coset_x, theta, beta, gamma, y, vinv):
+            import jax.numpy as jnp
+
             ops = _SlabOps()
+            unpack = (
+                (lambda l: jnp.swapaxes(l, 0, 1).astype(jnp.int32))
+                if transposed
+                else nt.unpack8
+            )
             vals = {
-                sk: nt.unpack8(l) for sk, l in zip(map(tuple, schedule), leaves)
+                sk: unpack(l) for sk, l in zip(map(tuple, schedule), leaves)
             }
 
             def leaf(kind, idx, rot=0):
@@ -301,23 +344,47 @@ class DeviceQuotient:
 
         n = self.n
         shift_m = jnp.asarray(fo.FR.to_mont(shift))
-        shift_pows = nt.pow_series_dev(shift_m, n)
-        # Force each extend to EXECUTE before enqueueing the next: the axon
-        # backend defers all work until a D2H, and a single deferred graph
-        # of 23 extends + 8 slab passes exhausts HBM at k=21 (every slab's
-        # input slices live at once).  A 1-element D2H per step keeps the
-        # live set to {packed store, ext columns, one executable's temps}.
+
+        # Force intermediates to EXECUTE before enqueueing more: the axon
+        # backend defers all work until a D2H, and one giant deferred graph
+        # exhausts HBM at k=21 (every slab's input slices live at once).
         def force(arr):
             np.asarray(arr[:1, :1])
             return arr
 
-        ext = {}
-        for key, p in self.store.items():
-            ext[key] = force(self._extend(p, shift_pows))
-        leaves_full = []
-        for key, rot in self.schedule:
-            e = ext[key]
-            leaves_full.append(jnp.roll(e, -rot, axis=0) if rot else e)
+        if self.use_pallas:
+            ntp = self._ntp
+            sp = self._shift_pows_cache.get(shift)
+            if sp is None:
+                sp = force(
+                    ntp.pow_series_bitrev_u8(shift, self.k, self.plan.bitrev)
+                )
+                self._shift_pows_cache[shift] = sp
+            shifted = ntp.ew_mul_u8(self.store_stack, sp, self.C, False)
+            ext_stack = force(
+                ntp.ntt_batched_u8(shifted, self.tws, self.k, self.C, True)
+            )
+            NL = fo.NLIMBS
+
+            def band(key):
+                i = self.key_idx[key]
+                return ext_stack[i * NL : (i + 1) * NL]
+
+            leaves_full = []
+            for key, rot in self.schedule:
+                e = band(key)
+                leaves_full.append(
+                    jnp.roll(e, -rot, axis=1) if rot else e
+                )
+        else:
+            shift_pows = nt.pow_series_dev(shift_m, n)
+            ext = {}
+            for key, p in self.store.items():
+                ext[key] = force(self._extend(p, shift_pows))
+            leaves_full = []
+            for key, rot in self.schedule:
+                e = ext[key]
+                leaves_full.append(jnp.roll(e, -rot, axis=0) if rot else e)
         coset_x = self._mul_pack(self.omega_pows, shift_m)
 
         vinv = pow((pow(shift, n, R) - 1) % R, -1, R)
@@ -330,7 +397,10 @@ class DeviceQuotient:
         slab = min(1 << slab_log2, n)
         outs = []
         for s0 in range(0, n, slab):
-            sl = tuple(l[s0 : s0 + slab] for l in leaves_full)
+            if self.use_pallas:
+                sl = tuple(l[:, s0 : s0 + slab] for l in leaves_full)
+            else:
+                sl = tuple(l[s0 : s0 + slab] for l in leaves_full)
             outs.append(
                 np.asarray(
                     self._slab_fn(sl, coset_x[s0 : s0 + slab], th, be, ga, yy, vi)
