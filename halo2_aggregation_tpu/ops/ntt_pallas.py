@@ -74,9 +74,12 @@ _CONSTS = None
 
 
 def _consts_dev():
+    # NUMPY arrays, not jnp: this is called inside jit traces, where a
+    # jnp.asarray would produce (and cache!) tracers.  As numpy they are
+    # baked into each executable as tiny (32, 128) literals.
     global _CONSTS
     if _CONSTS is None:
-        _CONSTS = tuple(jnp.asarray(c) for c in _fr_consts())
+        _CONSTS = _fr_consts()
     return _CONSTS
 
 
