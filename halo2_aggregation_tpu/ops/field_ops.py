@@ -244,7 +244,7 @@ def mont_mul(a, b, spec: FieldSpec):
 _BIG_ROWS = 1 << 18
 
 
-def mont_mul_big(a, b, spec: FieldSpec, chunk: int = 1 << 17):
+def mont_mul_big(a, b, spec: FieldSpec, chunk: int = 1 << 17, force: bool = False):
     """mont_mul with bounded convolution temps for prover-scale arrays.
 
     Above _BIG_ROWS total rows the product is computed in `chunk`-row
@@ -257,7 +257,7 @@ def mont_mul_big(a, b, spec: FieldSpec, chunk: int = 1 << 17):
     rows = 1
     for d in shape[:-1]:
         rows *= d
-    if rows <= _BIG_ROWS or rows % chunk:
+    if (rows < _BIG_ROWS and not force) or rows % chunk:
         return mont_mul(a, b, spec)
     af = jnp.broadcast_to(a, shape).reshape(rows // chunk, chunk, NLIMBS)
     bf = jnp.broadcast_to(b, shape).reshape(rows // chunk, chunk, NLIMBS)

@@ -252,6 +252,110 @@ def ew_mul_u8(A, B, C: int = 1, canon: bool = False):
     )(*consts, A, B)
 
 
+def _local_dif_kernel(nstages, canon,
+                      p_ref, pinv_ref, twop_ref, comp2p_ref, one_ref,
+                      compp_ref, x_ref, tws_ref, o_ref):
+    """DIF (decimation in frequency) counterpart of _local_kernel:
+    stages nstages-1 .. 0 inside one tile.  Butterfly: lo' = lo + hi,
+    hi' = (lo - hi) * tw."""
+    fc = (p_ref[:], pinv_ref[:], twop_ref[:], comp2p_ref[:], one_ref[:])
+    x = x_ref[:].astype(jnp.int32)
+    lane = lax.broadcasted_iota(jnp.int32, (1, TL), 1)
+    for s in range(nstages - 1, -1, -1):
+        half = 1 << s
+        xh = jnp.roll(x, -half, axis=1)
+        xl = jnp.roll(x, half, axis=1)
+        is_lo = (lane % (2 * half)) < half
+        hi_v = jnp.where(is_lo, xh, x)
+        lo_v = jnp.where(is_lo, x, xl)
+        tw = tws_ref[s * NLIMBS : (s + 1) * NLIMBS, :]
+        x = jnp.where(
+            is_lo,
+            _add(fc, lo_v, hi_v),
+            _mont_mul(fc, _sub(fc, lo_v, hi_v), tw),
+        )
+    if canon:
+        x = _cond_sub(compp_ref[:], x)
+    o_ref[:] = x.astype(jnp.uint8)
+
+
+def _gstage_dif_kernel(hb, canon,
+                       p_ref, pinv_ref, twop_ref, comp2p_ref, one_ref,
+                       compp_ref, own_ref, part_ref, tw_ref, o_ref):
+    """DIF global butterfly stage (output-tile centric, same schedule as
+    _gstage_kernel)."""
+    g = pl.program_id(1)
+    fc = (p_ref[:], pinv_ref[:], twop_ref[:], comp2p_ref[:], one_ref[:])
+    own = own_ref[:].astype(jnp.int32)
+    part = part_ref[:].astype(jnp.int32)
+    is_lo = g % (2 * hb) < hb
+    lo = jnp.where(is_lo, own, part)
+    hi = jnp.where(is_lo, part, own)
+    r = jnp.where(
+        is_lo,
+        _add(fc, lo, hi),
+        _mont_mul(fc, _sub(fc, lo, hi), tw_ref[:]),
+    )
+    if canon:
+        r = _cond_sub(compp_ref[:], r)
+    o_ref[:] = r.astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def intt_batched_u8(X, tws, ninv_tile, k: int, C: int):
+    """Batched inverse NTT via DIF: (C*32, n)-u8 NATURAL-order
+    evaluations -> BIT-REVERSED-order canonical coefficients — exactly
+    the layout `ntt_batched_u8` consumes, so an INTT -> coset-NTT
+    pipeline needs no permutation anywhere.
+
+    tws: prep_twiddles of an INVERSE-omega NttPlan; ninv_tile: n^{-1}
+    Montgomery (32, TL)-i32 tile (scalar_tile(FR.to_mont-int of 1/n))."""
+    n = 1 << k
+    assert k >= LOCAL_STAGES
+    local_tws, g_tws = tws
+    nloc = min(LOCAL_STAGES, k)
+    consts = _consts_dev()
+
+    for i, s in enumerate(range(k - 1, nloc - 1, -1)):
+        half = 1 << s
+        hb = half // TL
+        own = pl.BlockSpec(
+            (NLIMBS, TL), lambda c, g: (c, g), memory_space=pltpu.VMEM
+        )
+        part = pl.BlockSpec(
+            (NLIMBS, TL),
+            lambda c, g, hb=hb: (c, gstage_partner_block(g, hb)),
+            memory_space=pltpu.VMEM,
+        )
+        tw = pl.BlockSpec(
+            (NLIMBS, TL),
+            lambda c, g, hb=hb: (0, gstage_tw_block(g, hb)),
+            memory_space=pltpu.VMEM,
+        )
+        X = pl.pallas_call(
+            functools.partial(_gstage_dif_kernel, hb, False),
+            grid=(C, n // TL),
+            in_specs=[_cspec() for _ in range(6)] + [own, part, tw],
+            out_specs=own,
+            out_shape=jax.ShapeDtypeStruct((C * NLIMBS, n), jnp.uint8),
+        )(*consts, X, X, g_tws[s - nloc])
+
+    xspec = pl.BlockSpec(
+        (NLIMBS, TL), lambda c, g: (c, g), memory_space=pltpu.VMEM
+    )
+    lts = pl.BlockSpec(
+        (nloc * NLIMBS, TL), lambda c, g: (0, 0), memory_space=pltpu.VMEM
+    )
+    X = pl.pallas_call(
+        functools.partial(_local_dif_kernel, nloc, False),
+        grid=(C, n // TL),
+        in_specs=[_cspec() for _ in range(6)] + [xspec, lts],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((C * NLIMBS, n), jnp.uint8),
+    )(*consts, X, local_tws)
+    return ew_mul_scalar_u8(X, ninv_tile, C, True)
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def ew_mul_scalar_u8(A, b_tile, C: int = 1, canon: bool = False):
     """(C*32, n)-u8 batch x one scalar ((32, TL)-i32 tile, same value in

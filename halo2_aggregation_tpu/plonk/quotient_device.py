@@ -252,7 +252,9 @@ class DeviceQuotient:
             and XLA reuses the map body's buffers across iterations."""
 
             def mul(self, a, b):
-                return self.fo.mont_mul_big(a, b, self.FR, chunk=1 << 15)
+                return self.fo.mont_mul_big(
+                    a, b, self.FR, chunk=1 << 14, force=True
+                )
 
         transposed = self.use_pallas
 
@@ -335,7 +337,7 @@ class DeviceQuotient:
         beta: int,
         gamma: int,
         y: int,
-        slab_log2: int = 18,
+        slab_log2: int = 17,
     ) -> np.ndarray:
         """h-numerator/vanishing evals on the {shift * omega^i} coset,
         returned as a (n, 4) uint64 Montgomery array (matches the value
@@ -360,9 +362,16 @@ class DeviceQuotient:
                     ntp.pow_series_bitrev_u8(shift, self.k, self.plan.bitrev)
                 )
                 self._shift_pows_cache[shift] = sp
-            shifted = ntp.ew_mul_u8(self.store_stack, sp, self.C, False)
+            # no reference kept to the shifted intermediate: at k=21 it is
+            # another 1.5GB of HBM the slab pass would have to live with
             ext_stack = force(
-                ntp.ntt_batched_u8(shifted, self.tws, self.k, self.C, True)
+                ntp.ntt_batched_u8(
+                    ntp.ew_mul_u8(self.store_stack, sp, self.C, False),
+                    self.tws,
+                    self.k,
+                    self.C,
+                    True,
+                )
             )
             NL = fo.NLIMBS
 
