@@ -391,23 +391,52 @@ def scalar_tile(v_mont_int: int):
     )
 
 
-def pow_series_bitrev_u8(base_int: int, k: int, bitrev: np.ndarray):
-    """[base^bitrev(j)]_j as a (32, n)-u8 limbs-on-sublanes array —
-    the per-coset coefficient scaling in the engine's bitrev lane order.
+def pow_series_u8(base_int: int, k: int, idx: np.ndarray):
+    """[base^idx(j)]_j as a (32, n)-u8 limbs-on-sublanes array.
 
-    The scalar square chain base^(2^b) runs in Python ints (exact, mont
-    residues); per bit one ew Pallas mul + an XLA lane select.  Output
-    values are in [0, 2p) (redundant ok: consumers are mont muls)."""
+    idx = bitrev gives the per-coset coefficient scaling in the engine's
+    bitrev lane order; idx = arange gives the natural-order power series
+    (evaluation points).  The scalar square chain base^(2^b) runs in
+    Python ints (exact); per bit one ew Pallas mul + an XLA lane select.
+    Output values are in [0, 2p) (redundant ok: consumers are mont
+    muls)."""
     n = 1 << k
     one_col = _ints_to_cols(FR.r_mod_p, NLIMBS).astype(np.uint8)
     acc = jnp.asarray(np.tile(one_col.reshape(NLIMBS, 1), (1, n)))
     sq = base_int % R
+    idx = np.asarray(idx)
     for b in range(k):
         m = ew_mul_scalar_u8(acc, scalar_tile(sq * (1 << 256) % R), 1, False)
-        take = jnp.asarray(((bitrev >> b) & 1).astype(bool))[None, :]
+        take = jnp.asarray(((idx >> b) & 1).astype(bool))[None, :]
         acc = jnp.where(take, m, acc)
         sq = sq * sq % R
     return acc
+
+
+def pow_series_bitrev_u8(base_int: int, k: int, bitrev: np.ndarray):
+    return pow_series_u8(base_int, k, bitrev)
+
+
+def prep_twiddles_dev(omega_nat_u8, k: int):
+    """Device-built twiddle tables from the natural-order omega power
+    series: stage s of a size-2^k DIT NTT uses w_m^j = omega^{(n/m) j}
+    (m = 2^{s+1}) — strided lane slices of the series.  Replaces the
+    host NttPlan twiddle loop, which is ~2^k Python pow() calls (~90s at
+    k=21 on this 2-core host).  Twiddle values are in [0, 2p) (mul
+    operands; redundancy is absorbed by the final canonicalization)."""
+    n = 1 << k
+    nloc = min(LOCAL_STAGES, k)
+    loc = []
+    for s in range(nloc):
+        m = 1 << (s + 1)
+        t = omega_nat_u8[:, :: n // m][:, : 1 << s].astype(jnp.int32)
+        loc.append(jnp.tile(t, (1, TL // (1 << s))))
+    local_tws = jnp.concatenate(loc, axis=0)
+    g_tws = [
+        omega_nat_u8[:, :: n // (1 << (s + 1))][:, : 1 << s].astype(jnp.int32)
+        for s in range(nloc, k)
+    ]
+    return local_tws, g_tws
 
 
 # -- twiddle / permutation prep ----------------------------------------------

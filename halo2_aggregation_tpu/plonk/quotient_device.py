@@ -110,10 +110,6 @@ class DeviceQuotient:
             len(cs.permutation_columns) + self.chunk_len - 1
         ) // self.chunk_len
 
-        plan = nt.NttPlan(k, fr_omega(k))
-        self.plan = plan
-        self.bitrev = jnp.asarray(plan.bitrev)
-
         # Pallas NTT engine on TPU (ops/ntt_pallas.py): the staged-XLA
         # extension below is HBM-bound (~18s per k=21 column, no better
         # than the host); the Pallas path runs all columns per coset in
@@ -135,25 +131,37 @@ class DeviceQuotient:
         self.C = len(self.keys)
         if self.use_pallas:
             self.twiddles = None
-            self.tws = ntp.prep_twiddles(plan)
+            self.bitrev_np = nt._bit_reverse_indices(k)
             self.store_stack = jnp.asarray(
                 ntp.pack_columns_bitrev(
-                    [columns[key] for key in self.keys], plan.bitrev
+                    [columns[key] for key in self.keys], self.bitrev_np
                 )
             )
             np.asarray(self.store_stack[:1, :1])  # force upload
+            # natural-order omega powers (u8, device) feed both the
+            # twiddle tables (strided slices) and the per-coset
+            # evaluation points — no host twiddle loop, no XLA ladder
+            self.omega_nat_u8 = ntp.pow_series_u8(
+                fr_omega(k), k, np.arange(self.n, dtype=np.int64)
+            )
+            np.asarray(self.omega_nat_u8[:1, :1])
+            self.tws = ntp.prep_twiddles_dev(self.omega_nat_u8, k)
             self._shift_pows_cache: dict = {}
+            self._tile_fn = None  # built lazily (jitted fused kernel)
         else:
+            # host-computed tables (NttPlan's twiddle loop is ~2^k Python
+            # pows — only paid on the CPU/XLA path)
+            plan = nt.NttPlan(k, fr_omega(k))
+            self.bitrev = jnp.asarray(plan.bitrev)
             self.twiddles = tuple(jnp.asarray(t) for t in plan.stage_twiddles)
             # upload every coefficient column once, packed
             self.store = {
                 key: jnp.asarray(_pack_host(col))
                 for key, col in columns.items()
             }
-
-        # omega powers (coset_x = shift * omega^i), computed on-device once
-        omega_m = jnp.asarray(fo.FR.to_mont(fr_omega(k)))
-        self.omega_pows = nt.pow_series_dev(omega_m, self.n)
+            # omega powers (coset_x = shift*omega^i), computed on-device
+            omega_m = jnp.asarray(fo.FR.to_mont(fr_omega(k)))
+            self.omega_pows = nt.pow_series_dev(omega_m, self.n)
 
         # leaf schedule: stable, deduped (key, rot) order
         sched: list = []
@@ -256,19 +264,10 @@ class DeviceQuotient:
                     a, b, self.FR, chunk=1 << 14, force=True
                 )
 
-        transposed = self.use_pallas
-
         def slab_fn(leaves, coset_x, theta, beta, gamma, y, vinv):
-            import jax.numpy as jnp
-
             ops = _SlabOps()
-            unpack = (
-                (lambda l: jnp.swapaxes(l, 0, 1).astype(jnp.int32))
-                if transposed
-                else nt.unpack8
-            )
             vals = {
-                sk: unpack(l) for sk, l in zip(map(tuple, schedule), leaves)
+                sk: nt.unpack8(l) for sk, l in zip(map(tuple, schedule), leaves)
             }
 
             def leaf(kind, idx, rot=0):
@@ -329,6 +328,163 @@ class DeviceQuotient:
 
         return slab_fn
 
+    # -- the fused Pallas expression kernel (one dispatch per coset) ----------
+    def _build_tile_fn(self):
+        """The whole pointwise quotient pass — gate + permutation +
+        lookup expressions, y-fold, vanishing division — as ONE Pallas
+        kernel over (32, 128) tiles.  The XLA slab path (above) runs the
+        same formulas at ~3M mont-muls/s, HBM-bound through materialized
+        conv temps (~60s/coset at k=21); in-VMEM the pass is
+        compute-bound at ~100M muls/s (~1-2s/coset).  protocol.py's
+        formulas are reused verbatim over a fifth ScalarOps backend built
+        on the ec_pallas limb primitives."""
+        import jax
+        import jax.numpy as jnp
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        from ..ops import ec_pallas as ep
+
+        ntp = self._ntp
+        cs = self.cs
+        schedule = [(tuple(key), rot) for key, rot in self.schedule]
+        chunk_len = self.chunk_len
+        num_chunks = self.num_chunks
+        bf = self.bf
+        nl = len(schedule)
+        NL = fo.NLIMBS
+        TLn = ntp.TL
+        n = self.n
+
+        from jax import lax
+
+        class TileOps:
+            """ScalarOps over (32, 128) redundant-Montgomery tiles.
+
+            Constants are built IN-TRACE from scalar literals (iota +
+            selects): Pallas kernels may not capture array constants."""
+
+            def __init__(self, fc):
+                self.fc = fc
+
+            def constant(self, v):
+                limbs = np.asarray(fo.FR.to_mont(v % R), np.int64)
+                ids = lax.broadcasted_iota(jnp.int32, (NL, TLn), 0)
+                out = jnp.zeros((NL, TLn), jnp.int32)
+                for l in range(NL):
+                    lv = int(limbs[l])
+                    if lv:
+                        out = jnp.where(ids == l, lv, out)
+                return out
+
+            def add(self, a, b):
+                return ep._add(self.fc, a, b)
+
+            def sub(self, a, b):
+                return ep._sub(self.fc, a, b)
+
+            def mul(self, a, b):
+                return ep._mont_mul(self.fc, a, b)
+
+            def neg(self, a):
+                return ep._sub(self.fc, jnp.zeros_like(a), a)
+
+            def scale(self, a, v):
+                return self.mul(a, self.constant(v))
+
+        def kernel(*refs):
+            fc = tuple(r[:] for r in refs[:5])
+            compp = refs[5][:]
+            leaf_arrays = [refs[6 + i][:].astype(jnp.int32) for i in range(nl)]
+            cx = refs[6 + nl][:].astype(jnp.int32)
+            th = refs[7 + nl][:]
+            be = refs[8 + nl][:]
+            ga = refs[9 + nl][:]
+            yv = refs[10 + nl][:]
+            vi = refs[11 + nl][:]
+            out_ref = refs[12 + nl]
+
+            ops = TileOps(fc)
+            vals = dict(zip(schedule, leaf_arrays))
+
+            def leaf(kind, idx, rot=0):
+                return vals[((kind, idx), rot)]
+
+            adv = [
+                leaf("advice", c.index, rot.value)
+                for c, rot in cs.advice_queries
+            ]
+            fix = [
+                leaf("fixed", c.index, rot.value)
+                for c, rot in cs.fixed_queries
+            ]
+            inst = [
+                leaf("instance", c.index, rot.value)
+                for c, rot in cs.instance_queries
+            ]
+            sigma = [
+                leaf("sigma", i) for i in range(len(cs.permutation_columns))
+            ]
+            l0 = leaf("l0", 0)
+            llast = leaf("llast", 0)
+            lblind = leaf("lblind", 0)
+
+            exprs = gate_expressions(ops, cs, adv, fix, inst)
+            perm_sets = [
+                PermutationSetEvals(
+                    z=leaf("perm_z", ci),
+                    z_next=leaf("perm_z", ci, 1),
+                    z_last=(
+                        leaf("perm_z", ci, -(bf + 1))
+                        if ci < num_chunks - 1
+                        else None
+                    ),
+                )
+                for ci in range(num_chunks)
+            ]
+            exprs += permutation_expressions(
+                ops, cs, perm_sets, sigma, adv, fix, inst,
+                l0, llast, lblind, be, ga, cx, chunk_len,
+            )
+            for li, arg in enumerate(cs.lookups):
+                ev = LookupEvals(
+                    z=leaf("lookup_z", li),
+                    z_next=leaf("lookup_z", li, 1),
+                    a_prime=leaf("lookup_a", li),
+                    a_prime_prev=leaf("lookup_a", li, -1),
+                    s_prime=leaf("lookup_s", li),
+                )
+                exprs += lookup_expressions(
+                    ops, ev, arg, l0, llast, lblind,
+                    th, be, ga, adv, fix, inst,
+                )
+            num = fold_y(ops, exprs, yv)
+            num = ops.mul(num, vi)
+            out_ref[:] = ep._cond_sub(compp, num).astype(jnp.uint8)
+
+        lspec = lambda: pl.BlockSpec(
+            (NL, TLn), lambda g: (0, g), memory_space=pltpu.VMEM
+        )
+        cspec = lambda: pl.BlockSpec(
+            (NL, TLn), lambda g: (0, 0), memory_space=pltpu.VMEM
+        )
+
+        def run(leaves, cx_u8, th_t, be_t, ga_t, y_t, vi_t):
+            return pl.pallas_call(
+                kernel,
+                grid=(n // TLn,),
+                in_specs=[cspec() for _ in range(6)]
+                + [lspec() for _ in range(nl + 1)]
+                + [cspec() for _ in range(5)],
+                out_specs=lspec(),
+                out_shape=jax.ShapeDtypeStruct((NL, n), jnp.uint8),
+            )(
+                *ntp._consts_dev(), *leaves, cx_u8,
+                th_t, be_t, ga_t, y_t, vi_t,
+            )
+
+        return jax.jit(run)
+
     # -- driver --------------------------------------------------------------
     def run_coset(
         self,
@@ -354,16 +510,18 @@ class DeviceQuotient:
             np.asarray(arr[:1, :1])
             return arr
 
+        vinv = pow((pow(shift, n, R) - 1) % R, -1, R)
+
         if self.use_pallas:
             ntp = self._ntp
             sp = self._shift_pows_cache.get(shift)
             if sp is None:
                 sp = force(
-                    ntp.pow_series_bitrev_u8(shift, self.k, self.plan.bitrev)
+                    ntp.pow_series_bitrev_u8(shift, self.k, self.bitrev_np)
                 )
                 self._shift_pows_cache[shift] = sp
             # no reference kept to the shifted intermediate: at k=21 it is
-            # another 1.5GB of HBM the slab pass would have to live with
+            # another 1.5GB of HBM the expression pass would live with
             ext_stack = force(
                 ntp.ntt_batched_u8(
                     ntp.ew_mul_u8(self.store_stack, sp, self.C, False),
@@ -379,24 +537,39 @@ class DeviceQuotient:
                 i = self.key_idx[key]
                 return ext_stack[i * NL : (i + 1) * NL]
 
-            leaves_full = []
-            for key, rot in self.schedule:
-                e = band(key)
-                leaves_full.append(
-                    jnp.roll(e, -rot, axis=1) if rot else e
+            leaves_full = tuple(
+                jnp.roll(band(key), -rot, axis=1) if rot else band(key)
+                for key, rot in self.schedule
+            )
+            mont = lambda v: v * (1 << 256) % R
+            cx_u8 = ntp.ew_mul_scalar_u8(
+                self.omega_nat_u8, ntp.scalar_tile(mont(shift)), 1, False
+            )
+            if self._tile_fn is None:
+                self._tile_fn = self._build_tile_fn()
+            out = np.asarray(
+                self._tile_fn(
+                    leaves_full,
+                    cx_u8,
+                    ntp.scalar_tile(mont(theta)),
+                    ntp.scalar_tile(mont(beta)),
+                    ntp.scalar_tile(mont(gamma)),
+                    ntp.scalar_tile(mont(y)),
+                    ntp.scalar_tile(mont(vinv)),
                 )
-        else:
-            shift_pows = nt.pow_series_dev(shift_m, n)
-            ext = {}
-            for key, p in self.store.items():
-                ext[key] = force(self._extend(p, shift_pows))
-            leaves_full = []
-            for key, rot in self.schedule:
-                e = ext[key]
-                leaves_full.append(jnp.roll(e, -rot, axis=0) if rot else e)
+            )  # (32, n) u8, canonical
+            return _unpack_host(out.T)
+
+        shift_pows = nt.pow_series_dev(shift_m, n)
+        ext = {}
+        for key, p in self.store.items():
+            ext[key] = force(self._extend(p, shift_pows))
+        leaves_full = []
+        for key, rot in self.schedule:
+            e = ext[key]
+            leaves_full.append(jnp.roll(e, -rot, axis=0) if rot else e)
         coset_x = self._mul_pack(self.omega_pows, shift_m)
 
-        vinv = pow((pow(shift, n, R) - 1) % R, -1, R)
         th = jnp.asarray(fo.FR.to_mont(theta))
         be = jnp.asarray(fo.FR.to_mont(beta))
         ga = jnp.asarray(fo.FR.to_mont(gamma))
@@ -406,10 +579,7 @@ class DeviceQuotient:
         slab = min(1 << slab_log2, n)
         outs = []
         for s0 in range(0, n, slab):
-            if self.use_pallas:
-                sl = tuple(l[:, s0 : s0 + slab] for l in leaves_full)
-            else:
-                sl = tuple(l[s0 : s0 + slab] for l in leaves_full)
+            sl = tuple(l[s0 : s0 + slab] for l in leaves_full)
             outs.append(
                 np.asarray(
                     self._slab_fn(sl, coset_x[s0 : s0 + slab], th, be, ga, yy, vi)
