@@ -132,7 +132,7 @@ class DeviceQuotient:
         if self.use_pallas:
             self.twiddles = None
             self.bitrev_np = nt._bit_reverse_indices(k)
-            self.store_stack = jnp.asarray(
+            self.store_stack = ntp.stack_transpose_dev(
                 ntp.pack_columns_bitrev(
                     [columns[key] for key in self.keys], self.bitrev_np
                 )
