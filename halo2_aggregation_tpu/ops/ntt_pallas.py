@@ -462,21 +462,16 @@ def prep_twiddles(plan):
 
 def pack_columns_bitrev(cols_u64, bitrev):
     """Host-side: list of (n, 4)-u64 mont coefficient columns -> one
-    (C, n, 32) uint8 contiguous array, coefficients bit-reverse permuted
-    (so the DIT kernels emit natural-order evaluations).  The
-    limbs-to-sublanes transpose happens ON DEVICE (stack_transpose_dev):
-    a host-side strided concatenate of (32, 2^21) views costs minutes on
-    2 cores; the device relayout is milliseconds."""
-    bands = []
-    for col in cols_u64:
+    (C*32, n) uint8 stacked array in engine layout (limbs on sublanes),
+    coefficients bit-reverse permuted (so the DIT kernels emit
+    natural-order evaluations).  ~1s/column on this host at k=21; an
+    XLA u8 transpose of the same data on-device measured ~15 MINUTES
+    (pathological u8 relayout), so the transpose stays on the host."""
+    n = cols_u64[0].shape[0]
+    out = np.empty((len(cols_u64) * NLIMBS, n), np.uint8)
+    for c, col in enumerate(cols_u64):
         a = np.ascontiguousarray(col, dtype="<u8")[bitrev]
-        bands.append(a.view(np.uint8).reshape(a.shape[0], 32))
-    return np.stack(bands, axis=0)
-
-
-def stack_transpose_dev(packed_cn32):
-    """(C, n, 32) u8 host layout -> (C*32, n) u8 engine layout, on
-    device."""
-    C, n, _ = packed_cn32.shape
-    x = jnp.asarray(packed_cn32)
-    return jnp.transpose(x, (0, 2, 1)).reshape(C * NLIMBS, n)
+        out[c * NLIMBS : (c + 1) * NLIMBS] = (
+            a.view(np.uint8).reshape(n, 32).T
+        )
+    return out

@@ -130,14 +130,25 @@ class DeviceQuotient:
         self.key_idx = {key: i for i, key in enumerate(self.keys)}
         self.C = len(self.keys)
         if self.use_pallas:
+            import time
+
+            tlog = (
+                (lambda m, t0=[time.time()]: (
+                    print(f"    [dq {time.time() - t0[0]:6.1f}s] {m}", flush=True),
+                    t0.__setitem__(0, time.time()),
+                ))
+                if os.environ.get("H2A_DQ_TIMING", "0") == "1"
+                else (lambda m: None)
+            )
             self.twiddles = None
             self.bitrev_np = nt._bit_reverse_indices(k)
-            self.store_stack = ntp.stack_transpose_dev(
-                ntp.pack_columns_bitrev(
-                    [columns[key] for key in self.keys], self.bitrev_np
-                )
+            packed = ntp.pack_columns_bitrev(
+                [columns[key] for key in self.keys], self.bitrev_np
             )
+            tlog("host pack")
+            self.store_stack = jnp.asarray(packed)
             np.asarray(self.store_stack[:1, :1])  # force upload
+            tlog("H2D store")
             # natural-order omega powers (u8, device) feed both the
             # twiddle tables (strided slices) and the per-coset
             # evaluation points — no host twiddle loop, no XLA ladder
@@ -145,7 +156,10 @@ class DeviceQuotient:
                 fr_omega(k), k, np.arange(self.n, dtype=np.int64)
             )
             np.asarray(self.omega_nat_u8[:1, :1])
+            tlog("omega ladder")
             self.tws = ntp.prep_twiddles_dev(self.omega_nat_u8, k)
+            np.asarray(self.tws[0][:1, :1])
+            tlog("twiddles")
             self._shift_pows_cache: dict = {}
             self._tile_fn = None  # built lazily (jitted fused kernel)
         else:
