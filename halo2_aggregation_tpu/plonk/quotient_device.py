@@ -157,7 +157,7 @@ class DeviceQuotient:
             )
             np.asarray(self.omega_nat_u8[:1, :1])
             tlog("omega ladder")
-            self.tws = ntp.prep_twiddles_dev(self.omega_nat_u8, k)
+            self.tws = self._twiddles_native(k)
             np.asarray(self.tws[0][:1, :1])
             tlog("twiddles")
             self._shift_pows_cache: dict = {}
@@ -229,6 +229,42 @@ class DeviceQuotient:
                 fo.mont_mul_big(a, jnp.broadcast_to(b, a.shape), fo.FR)
             )
         )
+
+    def _twiddles_native(self, k: int):
+        """Twiddle tables via the native C++ pow_series (milliseconds for
+        the ~2^k total entries) + one small H2D — the on-device strided
+        u8 slices of prep_twiddles_dev measured 72s at k=21, and the host
+        NttPlan Python loop ~90s.  Falls back to prep_twiddles_dev when
+        the native engine is unavailable."""
+        import jax.numpy as jnp
+
+        from ..utils import native
+
+        ntp = self._ntp
+        if not native.available():
+            return ntp.prep_twiddles_dev(self.omega_nat_u8, k)
+        from . import engine
+
+        n = 1 << k
+        omega = fr_omega(k)
+        nloc = min(ntp.LOCAL_STAGES, k)
+        loc, glo = [], []
+        for s in range(k):
+            m = 1 << (s + 1)
+            w_m = pow(omega, n // m, R)
+            tab = engine.pow_series(engine.mont_scalar(w_m), 1 << s)
+            t8 = (
+                np.ascontiguousarray(tab, dtype="<u8")
+                .view(np.uint8)
+                .reshape(1 << s, 32)
+                .T
+            )
+            if s < nloc:
+                loc.append(np.tile(t8, (1, ntp.TL // (1 << s))).astype(np.int32))
+            else:
+                # ship u8 (4x less over the tunnel), widen on device
+                glo.append(jnp.asarray(np.ascontiguousarray(t8)).astype(jnp.int32))
+        return jnp.asarray(np.concatenate(loc, axis=0)), glo
 
     # -- per-column coset extension ----------------------------------------
     @staticmethod
