@@ -54,13 +54,28 @@ from .protocol import (
 from .prover import _permute_lookup, _rand_fr
 
 
-def _use_device_quotient() -> bool:
-    """H2A_DEVICE_QUOTIENT=1 routes the per-coset quotient evaluation
-    through the TPU (plonk/quotient_device.py) — the host C++ loop stays
-    the default and the byte-exactness reference."""
+def _use_device_quotient(k: int = 99) -> bool:
+    """Route the per-coset quotient evaluation through the TPU
+    (plonk/quotient_device.py: Pallas NTT engine, byte-exact vs the host
+    C++ loop, 13.7x per warm coset at k=21).  Default: auto — on when a
+    real TPU backend is present AND the domain is prover-scale (k >= 15;
+    below that the upload + dispatch overheads beat the win and the host
+    C++ loop is faster).  H2A_DEVICE_QUOTIENT=1/0 forces."""
     import os
 
-    return os.environ.get("H2A_DEVICE_QUOTIENT", "0") == "1"
+    v = os.environ.get("H2A_DEVICE_QUOTIENT", "auto")
+    if v in ("0", "1"):
+        return v == "1"
+    if k < 15:
+        return False
+    try:
+        import jax
+
+        return any(
+            kk in jax.default_backend().lower() for kk in ("tpu", "axon")
+        )
+    except Exception:
+        return False
 
 
 def _as_plain_u64(col) -> np.ndarray:
@@ -290,7 +305,7 @@ def create_proof_native(
 
     h_ext_m = np.empty((ext_n, 4), np.uint64)
     dq = None
-    if _use_device_quotient():
+    if _use_device_quotient(k):
         from .quotient_device import DeviceQuotient
 
         cols = {}

@@ -127,12 +127,7 @@ def test_pack_columns_bitrev_layout():
         np.arange(n * 4, dtype=np.uint64).reshape(n, 4) + 1000 * c
         for c in range(3)
     ]
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
-    P = ntp.pack_columns_bitrev(cols, plan.bitrev)
-    assert P.shape == (3, n, 32)
-    X = np.asarray(ntp.stack_transpose_dev(P))
+    X = ntp.pack_columns_bitrev(cols, plan.bitrev)
     assert X.shape == (3 * 32, n)
     for c in range(3):
         for j in (0, 1, n - 1):
