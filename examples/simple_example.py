@@ -7,8 +7,10 @@ Phase C: MockProver-equivalent on the outer circuit (H2A_FULL_MOCK=1;
          witness-level quad equality is always checked)
 Phase D: the REAL outer proof (simple-example.rs:678-730): keygen, prove,
          and verify the aggregation circuit through the scaled native
-         prover.  Gated by H2A_PHASE_D=1 (roughly an hour at the
-         reference's k=23 on a 2-core host; H2A_OUTER_K overrides k).
+         prover — quotient on the TPU by default (Pallas NTT engine;
+         ~11-15 min at the default k=21 incl. keygen, ~19 min host-only
+         with H2A_DEVICE_QUOTIENT=0; H2A_OUTER_K overrides k).
+         Gated by H2A_PHASE_D=1.
 
 Run: python examples/simple_example.py
      H2A_PHASE_D=1 python examples/simple_example.py   # + the outer proof
