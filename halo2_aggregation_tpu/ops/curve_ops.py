@@ -208,22 +208,54 @@ def scalar_mul_windowed(p: JacPoint, scalars, nbits: int = 256) -> JacPoint:
 
 @jax.jit
 def jac_sum(p: JacPoint) -> JacPoint:
-    """Tree-reduce a batch of points along axis 0 to a single point."""
+    """Fold a batch of points along axis 0 to a single point.
+
+    lax.scan left fold: the jac_add body (~3.6K HLO ops) compiles ONCE
+    per call site.  The former unrolled tree reduction emitted one
+    jac_add per level and dominated the cold-compile cost of every
+    program containing lane sums (the 2-core CPU dryrun host pays
+    minutes per 10K HLO ops); the group element is identical either way
+    and the fold lengths here (tens of lanes) are noise at runtime
+    against the 254-step ladder."""
     n = p.x.shape[0]
-    while n > 1:
-        half = n // 2
-        a = JacPoint(p.x[:half], p.y[:half], p.z[:half])
-        b = JacPoint(p.x[half : 2 * half], p.y[half : 2 * half], p.z[half : 2 * half])
-        s = jac_add(a, b)
-        if n % 2:
-            s = JacPoint(
-                jnp.concatenate([s.x, p.x[-1:]]),
-                jnp.concatenate([s.y, p.y[-1:]]),
-                jnp.concatenate([s.z, p.z[-1:]]),
-            )
-        p = s
-        n = s.x.shape[0]
-    return JacPoint(p.x[0], p.y[0], p.z[0])
+    if n == 1:
+        return JacPoint(p.x[0], p.y[0], p.z[0])
+
+    def step(acc, q):
+        return jac_add(acc, q), None
+
+    acc0 = JacPoint(p.x[0], p.y[0], p.z[0])
+    rest = JacPoint(p.x[1:], p.y[1:], p.z[1:])
+    acc, _ = lax.scan(step, acc0, rest)
+    return acc
+
+
+def jac_segment_sum(p: JacPoint, seg_ids, num_segs: int) -> JacPoint:
+    """Fold points along axis 0 into per-segment accumulators with ONE
+    scan whose body is a single jac_add + a dynamic-index update —
+    the compile-cheap form of several per-segment lane sums (used by the
+    mesh verifier step where w/zw/f/e lane counts differ).
+
+    p: (m, ..., 32) points; seg_ids: (m,) int32 (static values, traced
+    array); returns (num_segs, ..., 32) sums (identity for empty segs)."""
+    seg_ids = jnp.asarray(seg_ids, jnp.int32)
+    acc0 = jac_identity((num_segs, *p.x.shape[1:-1]))
+
+    def step(acc, lane_seg):
+        lane, seg = lane_seg
+        cur = JacPoint(acc.x[seg], acc.y[seg], acc.z[seg])
+        new = jac_add(cur, lane)
+        return (
+            JacPoint(
+                acc.x.at[seg].set(new.x),
+                acc.y.at[seg].set(new.y),
+                acc.z.at[seg].set(new.z),
+            ),
+            None,
+        )
+
+    acc, _ = lax.scan(step, acc0, (p, seg_ids))
+    return acc
 
 
 # ---------------------------------------------------------------------------

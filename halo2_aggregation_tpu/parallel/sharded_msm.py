@@ -15,7 +15,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops import curve_ops as co
 from ..ops import field_ops as fo
@@ -43,7 +43,7 @@ def sharded_msm(mesh: Mesh, axis: str, points: co.AffinePoint, scalars, nbits=25
         mesh=mesh,
         in_specs=(spec_sharded, spec_sharded, spec_sharded, spec_sharded),
         out_specs=(spec_repl, spec_repl, spec_repl),
-        check_rep=False,
+        check_vma=False,
     )
     x, y, z = fn(points.x, points.y, points.inf, scalars)
     return co.JacPoint(x, y, z)

@@ -86,6 +86,38 @@ def test_sharded_field_algebra_matches_unsharded(proofs_k9):
 
 
 @pytest.mark.slow
+def test_shmap_verify_algebra_fast_matches_host(proofs_k9):
+    """The shard_map formulation (driver dryrun path: explicit all_gather
+    collectives over mp, no GSPMD pass) produces the host verifier's quad
+    bit-exactly."""
+    from halo2_aggregation_tpu.parallel.batch_verify import (
+        shmap_verify_algebra_fast,
+    )
+    from halo2_aggregation_tpu.plonk.verifier import parse_proof, verify_proof
+    from halo2_aggregation_tpu.plonk.verifier_tpu import batch_proofs
+
+    params, vk, insts, proofs = proofs_k9
+    mesh = make_mesh(8)
+    B = mesh.shape["dp"]
+    parsed = [
+        parse_proof(
+            vk,
+            [params.commit_lagrange(col) for col in insts[i % 2]],
+            proofs[i % 2],
+        )
+        for i in range(B)
+    ]
+    batch = batch_proofs(vk, parsed)
+    out = shmap_verify_algebra_fast(mesh, vk, batch, parsed)
+    quads = {n: co.jac_to_ints(out[n]) for n in ("e", "f", "w", "zw")}
+    for i in range(B):
+        ok, efw = verify_proof(params, vk, insts[i % 2], proofs[i % 2])
+        assert ok
+        got = (quads["e"][i], quads["f"][i], quads["w"][i], quads["zw"][i])
+        assert got == tuple(efw), f"shmap quad mismatch at proof {i}"
+
+
+@pytest.mark.slow
 def test_sharded_verify_algebra_fast_matches_host(proofs_k9):
     """The PRODUCTION path (fast_device) under a dp x mp mesh produces the
     host verifier's quad bit-exactly."""
