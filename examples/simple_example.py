@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    from halo2_aggregation_tpu.config import H2AConfig
     from halo2_aggregation_tpu.models import aggregation_circuit as ac
     from halo2_aggregation_tpu.models import simple_example as se
     from halo2_aggregation_tpu.plonk import kzg
@@ -38,17 +39,18 @@ def main():
         PoseidonWrite,
     )
 
+    cfg = H2AConfig.from_env()
     # Constrained Fiat-Shamir is the DEFAULT mode: Poseidon transcript end
     # to end, with challenge derivation ENFORCED in-circuit — our upgrade
     # over the reference's witnessed-unconstrained challenges
     # (transcript.rs:62-65).  H2A_CONSTRAINED_FS=0 selects the
     # reference-parity Blake2b mode (challenges unconstrained in-circuit).
-    cfs = os.environ.get("H2A_CONSTRAINED_FS", "1") == "1"
+    cfs = cfg.constrained_fs
     t_write = PoseidonWrite if cfs else Blake2bWrite
     t_read = PoseidonRead if cfs else Blake2bRead
 
     # --- Phase A: inner proof (simple-example.rs:560-644) ------------------
-    k = 9
+    k = cfg.k_inner
     t0 = time.time()
     params = kzg.setup(k)
     circuit = se.MyCircuit(constant=7, a=2, b=3)
@@ -73,7 +75,7 @@ def main():
     # the verifier circuit from round-1's 4.58M rows @ k=23 to ~1.23M;
     # the reference needs k=23 (simple-example.rs:654) for the same
     # statement.
-    outer_k = int(os.environ.get("H2A_OUTER_K", "21"))
+    outer_k = cfg.k_outer
     outer = ac.SingleProofCircuit(vk, proof, constrained_fs=cfs)
     public_inputs = outer.public_inputs(inst_comm, efw)
     print(f"outer public inputs: {len(public_inputs)} scalars")
@@ -95,7 +97,7 @@ def main():
         print(f"outer mock prover succeeded ({time.time()-t0:.1f}s)")
 
     # --- Phase D: the real outer proof (simple-example.rs:678-730) ---------
-    if os.environ.get("H2A_PHASE_D", "0") == "1":
+    if cfg.phase_d:
         from halo2_aggregation_tpu.plonk.keygen import keygen_native
         from halo2_aggregation_tpu.plonk.prover_native import (
             create_proof_native,
