@@ -122,6 +122,63 @@ def test_two_proof_aggregation_circuit(inner_proof):
 
 
 @pytest.mark.slow
+def test_two_proof_constrained_lambda(inner_proof):
+    """VERDICT r2 item 5: in constrained-FS mode the fold challenge lambda
+    is SQUEEZED by the in-circuit Poseidon sponge over the strict-reduced
+    quad limbs (not witnessed); the gadget lambda equals the host
+    aggregate_lambda_poseidon and the fold matches fold_quads_host."""
+    from halo2_aggregation_tpu.models.aggregation_circuit import (
+        AggregationCircuit,
+        aggregate_lambda_poseidon,
+        fold_quads_host,
+    )
+    from halo2_aggregation_tpu.plonk.prover import create_proof as _cp
+    from halo2_aggregation_tpu.utils.transcript import (
+        PoseidonRead,
+        PoseidonWrite,
+    )
+
+    params, vk, _proof, pub, inst_comm, _efw = inner_proof
+    proofs, comms, efws = [], [], []
+    for i, (a, b) in enumerate([(2, 3), (4, 5)]):
+        circ_i = se.MyCircuit(constant=7, a=a, b=b)
+        cs_e, _, asg_e = se.build(circ_i.without_witnesses(), k=9)
+        _, pk_i = keygen(params, cs_e, asg_e)
+        _, _, asg_i = se.build(circ_i, k=9)
+        pub_i = [circ_i.public_output()]
+        proof_i = _cp(
+            params, pk_i, asg_i, [pub_i], seed=42 + i,
+            transcript_cls=PoseidonWrite,
+        )
+        ok_i, efw_i = verify_proof(
+            params, vk, [pub_i], proof_i, transcript_cls=PoseidonRead
+        )
+        assert ok_i
+        proofs.append(proof_i)
+        comms.append(params.commit_lagrange(pub_i))
+        efws.append(efw_i)
+
+    outer_k = 22
+    circ = AggregationCircuit(vk, proofs, num_proofs=2, constrained_fs=True)
+    public_inputs = circ.public_inputs(comms, efws)
+    cs, cfg, asg, ctx, (quads, W, RHS) = ac.build(circ, outer_k, public_inputs)
+    for q, want in zip(quads, efws):
+        got = [q.e.value(), q.f.value(), q.w.value(), q.zw.value()]
+        assert got == list(want), "in-circuit quad != native quad"
+    # the gadget-squeezed lambda == the host Poseidon lambda
+    assert circ.last_lambda.value == aggregate_lambda_poseidon(efws)
+    W_want, RHS_want = fold_quads_host(efws, constrained_fs=True)
+    assert (W.value(), RHS.value()) == (W_want, RHS_want), "in-circuit fold"
+    assert ctx.offset <= cs.usable_rows(1 << outer_k)
+
+    if os.environ.get("H2A_FULL_MOCK", "1") == "1":
+        from halo2_aggregation_tpu.plonk.mock import mock_verify_fast
+
+        failures = mock_verify_fast(cs, asg)
+        assert failures == [], failures[:5]
+
+
+@pytest.mark.slow
 @pytest.mark.skipif(
     os.environ.get("H2A_MULTIPROOF", "0") != "1",
     reason="4-proof synthesis at k=23 (~3 min, ~25GB); enable with "
