@@ -64,10 +64,11 @@ def main():
     from halo2_aggregation_tpu.plonk.prover import create_proof
     from halo2_aggregation_tpu.plonk.verifier import parse_proof, verify_proof
     from halo2_aggregation_tpu.plonk.verifier_tpu import (
-        _fast_device_jitted,
+        _fast_device_gathered_jitted,
         batch_proofs,
         check_aggregate,
         fast_prep,
+        fast_prep_gathered,
     )
 
     cfg = H2AConfig.from_env()
@@ -99,10 +100,10 @@ def main():
         ]
         t1 = time.time()
         batch = batch_proofs(vk, parsed)
-        lanes = fast_prep(vk, parsed)
+        descs, lane_ss, hc, kn = fast_prep_gathered(vk, parsed)
         t2 = time.time()
-        step = _fast_device_jitted(vk, B, lanes[2])
-        stacked, _h = step(batch, lanes[0].x, lanes[0].y, lanes[0].z, lanes[1], lanes[3], lanes[4])
+        step = _fast_device_gathered_jitted(vk, B, descs)
+        stacked, _h = step(batch, lane_ss, hc, kn)
         arr = np.asarray(stacked)  # ONE D2H transfer for all 12 coords
         quads_cols = [
             co.jac_to_ints(co.JacPoint(arr[3 * i], arr[3 * i + 1], arr[3 * i + 2]))
@@ -135,14 +136,13 @@ def main():
     # --- device verification algebra alone --------------------------------
     parsed = [parse_proof(vk, protos[i % 4][2], protos[i % 4][1]) for i in range(B)]
     batch = batch_proofs(vk, parsed)
-    lanes = fast_prep(vk, parsed)
+    lanes = fast_prep(vk, parsed)  # coordinate-materializing (ladder diag)
+    descs_g, lane_ss_g, hc_g, kn_g = fast_prep_gathered(vk, parsed)
 
-    step = _fast_device_jitted(vk, B, lanes[2])
+    step = _fast_device_gathered_jitted(vk, B, descs_g)
 
     def algebra_once():
-        stacked, _h = step(
-            batch, lanes[0].x, lanes[0].y, lanes[0].z, lanes[1], lanes[3], lanes[4]
-        )
+        stacked, _h = step(batch, lane_ss_g, hc_g, kn_g)
         np.asarray(stacked)  # force execution (axon defers until D2H)
 
     algebra_once()
