@@ -45,6 +45,18 @@ def median_rate(fn, work, trials):
     return work / statistics.median(ts), statistics.median(ts)
 
 
+def median_rate_spread(fn, work, trials):
+    """(median_rate, [per-trial rates]) — the spread is reported so docs
+    can state tunnel variance instead of a best-day number (VERDICT r2
+    weak-2)."""
+    ts = []
+    for _ in range(trials):
+        t0 = time.time()
+        fn()
+        ts.append(time.time() - t0)
+    return work / statistics.median(ts), [round(work / t, 3) for t in ts]
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -123,7 +135,9 @@ def main():
             )
 
     full_aggregate_once()  # warmup + compile
-    agg_rate, agg_t = median_rate(full_aggregate_once, B, trials=3)
+    agg_rate, agg_spread = median_rate_spread(
+        full_aggregate_once, B, trials=int(os.environ.get("H2A_BENCH_TRIALS", "5"))
+    )
     # profiler capture (SURVEY §5 tracing row): H2A_PROFILE=<dir> records a
     # jax.profiler trace of one end-to-end aggregation for TensorBoard
     prof_dir = os.environ.get("H2A_PROFILE")
@@ -234,6 +248,45 @@ def main():
     )
     msm_rate, msm_t = median_rate(lambda: msm_once(), msm_adds, trials=2)
 
+    # --- Pallas NTT engine: butterfly throughput vs speed-of-light --------
+    # A (C*32, 2^k_ntt)-u8 batched DIT NTT (the device quotient's engine,
+    # ops/ntt_pallas.py) chained `ntt_chain` times between D2H forces so
+    # timed work >> tunnel latency.  Twiddle-mul count per transform is
+    # C * (n/2) * k (one mont-mul per butterfly); adds/subs and the final
+    # canonicalization ride along uncounted, so the reported roofline
+    # fraction is conservative.
+    from halo2_aggregation_tpu.ops import ntt_pallas as ntp
+    from halo2_aggregation_tpu.ops.ntt import _bit_reverse_indices
+    from halo2_aggregation_tpu.plonk.quotient_device import native_twiddles
+
+    k_ntt = int(os.environ.get("H2A_BENCH_NTT_LOG2", "16"))
+    C_ntt = 8
+    ntt_chain = 4
+    n_ntt = 1 << k_ntt
+    ntt_rng = np.random.default_rng(7)
+    cols_u64 = [
+        np.frombuffer(ntt_rng.bytes(n_ntt * 32), dtype="<u8")
+        .view("<u2")
+        .astype(np.uint64)
+        .reshape(n_ntt, 16)[:, :4]  # 4x16-bit per u64 limb: values << p
+        for _ in range(C_ntt)
+    ]
+    X0 = jnp.asarray(
+        ntp.pack_columns_bitrev(cols_u64, _bit_reverse_indices(k_ntt))
+    )
+    ntt_tws = native_twiddles(k_ntt)
+    np.asarray(X0[:1, :1])  # force upload before timing
+
+    def ntt_once():
+        X = X0
+        for _ in range(ntt_chain):
+            X = ntp.ntt_batched_u8(X, ntt_tws, k_ntt, C_ntt)
+        np.asarray(X[:1, :128])  # force (axon defers until D2H)
+
+    ntt_once()  # warm + compile
+    ntt_muls = ntt_chain * C_ntt * (n_ntt // 2) * k_ntt
+    ntt_mul_rate, ntt_t = median_rate(ntt_once, ntt_muls, trials=3)
+
     # --- host baseline: same algebra, single thread, python ints ----------
     pub, proof = protos[0][0], protos[0][1]
     t0 = time.time()
@@ -302,6 +355,15 @@ def main():
     kernel_mont_rate = ladder_rate * muls_per_ladder
     kernel_roofline_frac = kernel_mont_rate / sol_rate
 
+    # MSM bucket-kernel roofline: each algorithmic point-add is a mixed
+    # (affine+Jacobian) add at 18 Fq mont-muls (signed-5-bit kernel) /
+    # a full Jacobian add at 23 (unsigned 4-bit); digit recoding and the
+    # in-kernel fold ride along uncounted, so the fraction is conservative.
+    msm_muls_per_add = 18 if msm_signed else 23
+    msm_mont_rate = msm_rate * msm_muls_per_add
+    msm_roofline_frac = msm_mont_rate / sol_rate
+    ntt_roofline_frac = ntt_mul_rate / sol_rate
+
     print(
         json.dumps(
             {
@@ -324,6 +386,14 @@ def main():
                     "fr_mont_mul_sol_per_s": round(sol_rate, 1),
                     "pallas_kernel_mont_mul_per_s": round(kernel_mont_rate, 1),
                     "pallas_kernel_roofline_frac": round(kernel_roofline_frac, 4),
+                    "msm_kernel_mont_mul_per_s": round(msm_mont_rate, 1),
+                    "msm_kernel_roofline_frac": round(msm_roofline_frac, 4),
+                    "ntt_k": k_ntt,
+                    "ntt_batch_cols": C_ntt,
+                    "ntt_wall_s_per_transform": round(ntt_t / ntt_chain, 4),
+                    "ntt_mont_mul_per_s": round(ntt_mul_rate, 1),
+                    "ntt_kernel_roofline_frac": round(ntt_roofline_frac, 4),
+                    "agg_trials_proofs_per_s": agg_spread,
                     "stages": stage,
                     "device": str(jax.devices()[0]),
                 },

@@ -60,12 +60,19 @@ class VerifyingKey:
 
     def hash_scalar(self) -> int:
         """Blake2b-512 over the length-prefixed pinned string, mapped to Fr
-        (the reference's vk->transcript hash, verifier.rs:341-358)."""
+        (the reference's vk->transcript hash, verifier.rs:341-358).
+        Cached: the vk is immutable after keygen and every transcript
+        replay (64/batch in the aggregation pipeline) starts here."""
+        cached = getattr(self, "_hash_scalar_cache", None)
+        if cached is not None:
+            return cached
         h = hashlib.blake2b(digest_size=64, person=VK_HASH_PERSONALIZATION)
         s = self.pinned().encode()
         h.update(len(s).to_bytes(8, "little"))
         h.update(s)
-        return challenge_from_wide(h.digest())
+        v = challenge_from_wide(h.digest())
+        object.__setattr__(self, "_hash_scalar_cache", v)
+        return v
 
 
 @dataclass

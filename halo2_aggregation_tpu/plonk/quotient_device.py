@@ -57,6 +57,46 @@ from .protocol import (
     permutation_expressions,
 )
 
+
+def native_twiddles(k: int, ntp=None, omega_nat_u8=None):
+    """DIT twiddle tables for `ntt_pallas.ntt_batched_u8` at size 2^k,
+    built by the native C++ pow_series (milliseconds for the ~2^k total
+    entries) + one small H2D — the on-device strided u8 slices of
+    prep_twiddles_dev measured 72s at k=21, and the host NttPlan Python
+    loop ~90s.  Falls back to prep_twiddles_dev when the native engine
+    is unavailable (then `omega_nat_u8` must be given)."""
+    import jax.numpy as jnp
+
+    from ..utils import native
+
+    if ntp is None:
+        from ..ops import ntt_pallas as ntp
+    if not native.available():
+        assert omega_nat_u8 is not None
+        return ntp.prep_twiddles_dev(omega_nat_u8, k)
+    from . import engine
+
+    n = 1 << k
+    omega = fr_omega(k)
+    nloc = min(ntp.LOCAL_STAGES, k)
+    loc, glo = [], []
+    for s in range(k):
+        m = 1 << (s + 1)
+        w_m = pow(omega, n // m, R)
+        tab = engine.pow_series(engine.mont_scalar(w_m), 1 << s)
+        t8 = (
+            np.ascontiguousarray(tab, dtype="<u8")
+            .view(np.uint8)
+            .reshape(1 << s, 32)
+            .T
+        )
+        if s < nloc:
+            loc.append(np.tile(t8, (1, ntp.TL // (1 << s))).astype(np.int32))
+        else:
+            # ship u8 (4x less over the tunnel), widen on device
+            glo.append(jnp.asarray(np.ascontiguousarray(t8)).astype(jnp.int32))
+    return jnp.asarray(np.concatenate(loc, axis=0)), glo
+
 MONT_R = 1 << 256
 
 
@@ -231,40 +271,7 @@ class DeviceQuotient:
         )
 
     def _twiddles_native(self, k: int):
-        """Twiddle tables via the native C++ pow_series (milliseconds for
-        the ~2^k total entries) + one small H2D — the on-device strided
-        u8 slices of prep_twiddles_dev measured 72s at k=21, and the host
-        NttPlan Python loop ~90s.  Falls back to prep_twiddles_dev when
-        the native engine is unavailable."""
-        import jax.numpy as jnp
-
-        from ..utils import native
-
-        ntp = self._ntp
-        if not native.available():
-            return ntp.prep_twiddles_dev(self.omega_nat_u8, k)
-        from . import engine
-
-        n = 1 << k
-        omega = fr_omega(k)
-        nloc = min(ntp.LOCAL_STAGES, k)
-        loc, glo = [], []
-        for s in range(k):
-            m = 1 << (s + 1)
-            w_m = pow(omega, n // m, R)
-            tab = engine.pow_series(engine.mont_scalar(w_m), 1 << s)
-            t8 = (
-                np.ascontiguousarray(tab, dtype="<u8")
-                .view(np.uint8)
-                .reshape(1 << s, 32)
-                .T
-            )
-            if s < nloc:
-                loc.append(np.tile(t8, (1, ntp.TL // (1 << s))).astype(np.int32))
-            else:
-                # ship u8 (4x less over the tunnel), widen on device
-                glo.append(jnp.asarray(np.ascontiguousarray(t8)).astype(jnp.int32))
-        return jnp.asarray(np.concatenate(loc, axis=0)), glo
+        return native_twiddles(k, self._ntp, self.omega_nat_u8)
 
     # -- per-column coset extension ----------------------------------------
     @staticmethod

@@ -91,6 +91,9 @@ def _load():
             ctypes.c_size_t, _U64P, _U8P, _U64P,
         ]
         lib.h2a_multi_pairing_check.restype = ctypes.c_int
+        lib.h2a_fq_batch_sqrt.argtypes = [
+            _U64P, ctypes.c_size_t, _U64P, _U8P,
+        ]
         _LIB = lib
     except Exception:
         _LIB = None
@@ -285,6 +288,33 @@ def fr_divide_linear(coeffs, z_mont) -> np.ndarray:
 def fr_fold_inplace(acc: np.ndarray, x, v_mont):
     """acc = acc * v + x, elementwise."""
     _lib().h2a_fr_fold(_p(acc), _p(_cc(x)), _p(_cc(v_mont)), acc.shape[0])
+
+
+def fq_batch_sqrt(vals_u64: np.ndarray):
+    """Square roots in Fq: (n, 4) plain canonical u64 -> ((n, 4) u64
+    roots, (n,) bool exists).  One fixed-exponent (q+1)/4 modexp per
+    entry in C++ (~20us) vs ~150us for the Python pow it replaces —
+    transcript-replay point decompression was 70% `pow` (VERDICT r2
+    item 4)."""
+    a = _cc(vals_u64)
+    n = a.shape[0]
+    out = np.empty((n, 4), dtype=np.uint64)
+    ok = np.empty(n, dtype=np.uint8)
+    _lib().h2a_fq_batch_sqrt(_p(a), n, _p(out), _p8(ok))
+    return out, ok.astype(bool)
+
+
+def fq_sqrt(a: int):
+    """Single square root for the sequential transcript replay; int (a
+    canonical Fq residue) -> int root or None."""
+    vals = np.array(
+        [[(a >> (64 * i)) & 0xFFFFFFFFFFFFFFFF for i in range(4)]],
+        dtype=np.uint64,
+    )
+    out, ok = fq_batch_sqrt(vals)
+    if not ok[0]:
+        return None
+    return _from_u64(out[0])
 
 
 def g1_normalize(jac_u64: np.ndarray):

@@ -13,6 +13,13 @@ from ..fields import CURVE_B, Q, R
 
 _SIGN_BIT = 1 << 255
 
+try:  # native C++ modexp for decompression (None -> pure-Python path)
+    from . import native as _native
+
+    _NATIVE_SQRT = _native.fq_sqrt if _native.available() else None
+except Exception:  # pragma: no cover - import robustness
+    _NATIVE_SQRT = None
+
 
 def fq_to_bytes(x: int) -> bytes:
     return int(x % Q).to_bytes(32, "little")
@@ -39,7 +46,12 @@ def fr_from_bytes(b: bytes) -> int:
 
 
 def fq_sqrt(a: int):
-    """Square root in Fq (q = 3 mod 4): a^((q+1)/4); None if non-residue."""
+    """Square root in Fq (q = 3 mod 4): a^((q+1)/4); None if non-residue.
+    Routed through the native C++ modexp when available (~5x the Python
+    pow — decompression dominated parse_proof, VERDICT r2 item 4); the
+    Python path below is the reference implementation and fallback."""
+    if _NATIVE_SQRT is not None:
+        return _NATIVE_SQRT(a % Q)
     r = pow(a, (Q + 1) // 4, Q)
     return r if r * r % Q == a % Q else None
 

@@ -1263,6 +1263,33 @@ void h2a_final_exp(const u64 *in48, u64 *out48) {
   fq12_store(out48, r);
 }
 
+// Batch modular square root in Fq via a^((q+1)/4) (q = 3 mod 4).
+// vals: n*4 plain canonical u64 (< q); out: n*4 plain u64 (one of the
+// two roots; caller picks the sign bit); ok[i] = 1 iff a root exists.
+// Serves the transcript replay's point decompression — the Python
+// pow() it replaces was 70% of parse_proof time (VERDICT r2 item 4).
+void h2a_fq_batch_sqrt(const u64 *vals, size_t n, u64 *out, uint8_t *ok) {
+  static const u64 E[4] = {0x4f082305b61f3f52ULL, 0x65e05aa45a1c72a3ULL,
+                           0x6e14116da0605617ULL, 0x0c19139cb84c680aULL};
+#pragma omp parallel for schedule(static)
+  for (size_t i = 0; i < n; i++) {
+    Fq a, y2;
+    fq_to_mont_(a, vals + 4 * i);
+    Fq acc;
+    memcpy(acc.v, R1, 32);
+    for (int l = 3; l >= 0; --l)
+      for (int b = 63; b >= 0; --b) {
+        mont_sq(acc, acc);
+        if ((E[l] >> b) & 1) mont_mul(acc, acc, a);
+      }
+    mont_sq(y2, acc);
+    ok[i] = (memcmp(y2.v, a.v, 32) == 0) ? 1 : 0;
+    Fq one_plain = {{1, 0, 0, 0}};
+    mont_mul(acc, acc, one_plain);  // from Montgomery form
+    memcpy(out + 4 * i, acc.v, 32);
+  }
+}
+
 // prod e(P_i, Q_i) == 1?  g1: n*8 plain u64 (+ inf flags); g2: n*16 plain
 // u64 (never infinity in our call sites, but a zero y marks it).
 int h2a_multi_pairing_check(size_t n, const u64 *g1, const uint8_t *g1_inf,

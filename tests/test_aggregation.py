@@ -180,9 +180,9 @@ def test_two_proof_constrained_lambda(inner_proof):
 
 @pytest.mark.slow
 @pytest.mark.skipif(
-    os.environ.get("H2A_MULTIPROOF", "0") != "1",
-    reason="4-proof synthesis at k=23 (~3 min, ~25GB); enable with "
-    "H2A_MULTIPROOF=1",
+    os.environ.get("H2A_MULTIPROOF", "1") != "1",
+    reason="4-proof synthesis at k=23 (~3 min, ~25GB); default-on in the "
+    "slow suite (VERDICT r2 item 6), H2A_MULTIPROOF=0 opts out",
 )
 def test_four_proof_aggregation_circuit(inner_proof):
     """ROADMAP round-3 item 4: N=4 inner proofs in one outer circuit —
@@ -222,6 +222,54 @@ def test_four_proof_aggregation_circuit(inner_proof):
     assert (W.value(), RHS.value()) == (W_want, RHS_want), "in-circuit fold"
     assert ctx.offset <= cs.usable_rows(1 << outer_k)
     print(f"4-proof circuit rows: {ctx.offset} @ k={outer_k}")
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    os.environ.get("H2A_MULTIPROOF8", "0") != "1",
+    reason="8-proof synthesis at k=24 (~8 min, ~55GB); enable with "
+    "H2A_MULTIPROOF8=1 (VERDICT r2 item 6: the N-scaling probe)",
+)
+def test_eight_proof_aggregation_circuit(inner_proof):
+    """VERDICT r2 item 6: scale the outer circuit past N=4.  Eight inner
+    proofs in one outer circuit — quads and the lambda-fold must match
+    the native verifier; row count recorded for the rows-vs-N table in
+    docs/AGGREGATION_SCALING.md (the N=64 north-star extrapolation)."""
+    from halo2_aggregation_tpu.models.aggregation_circuit import (
+        AggregationCircuit,
+        fold_quads_host,
+    )
+    from halo2_aggregation_tpu.plonk.prover import create_proof as _cp
+
+    params, vk, proof, pub, inst_comm, efw = inner_proof
+    proofs, comms, efws = [proof], [inst_comm], [efw]
+    for i, (a, b) in enumerate(
+        [(4, 5), (6, 11), (12, 13), (1, 255), (3, 9), (8, 21), (17, 2)]
+    ):
+        circ_i = se.MyCircuit(constant=7, a=a, b=b)
+        cs_e, _, asg_e = se.build(circ_i.without_witnesses(), k=9)
+        _, pk_i = keygen(params, cs_e, asg_e)
+        _, _, asg_i = se.build(circ_i, k=9)
+        pub_i = [circ_i.public_output()]
+        proof_i = _cp(params, pk_i, asg_i, [pub_i], seed=200 + i)
+        ok_i, efw_i = verify_proof(params, vk, [pub_i], proof_i)
+        assert ok_i
+        proofs.append(proof_i)
+        comms.append(params.commit_lagrange(pub_i))
+        efws.append(efw_i)
+
+    outer_k = 24
+    circ = AggregationCircuit(vk, proofs, num_proofs=8)
+    public_inputs = circ.public_inputs(comms, efws)
+    assert len(public_inputs) == 40 * 8 + 16
+    cs, cfg, asg, ctx, (quads, W, RHS) = ac.build(circ, outer_k, public_inputs)
+    for q, want in zip(quads, efws):
+        got = [q.e.value(), q.f.value(), q.w.value(), q.zw.value()]
+        assert got == list(want), "in-circuit quad != native quad"
+    W_want, RHS_want = fold_quads_host(efws)
+    assert (W.value(), RHS.value()) == (W_want, RHS_want), "in-circuit fold"
+    assert ctx.offset <= cs.usable_rows(1 << outer_k)
+    print(f"8-proof circuit rows: {ctx.offset} @ k={outer_k}")
 
 
 @pytest.mark.slow
