@@ -505,14 +505,15 @@ def _desc_point_ints(vk: VerifyingKey, p: ParsedProof, desc):
     raise KeyError(kind)
 
 
-_VK_CONST_BATCH = {}
-
-
 def _desc_point_batch(vk: VerifyingKey, b: VerifierBatch, desc, B: int):
     """Resolve a lane descriptor to a (B, 32) batched JacPoint at trace
     time — transcript points come straight from the VerifierBatch (already
-    Montgomery limbs on device); vk constants are converted once per vk
-    and broadcast."""
+    Montgomery limbs on device); vk constants are converted fresh per
+    trace.  Deliberately NOT cached across calls: the jit above already
+    traces once per (vk, B, descs), and a cross-trace dict here stored
+    DynamicJaxprTracers from the first trace and poisoned every later
+    trace sharing the vk (UnexpectedTracerError seen when the sharded
+    and single-chip paths ran in one process)."""
     kind, idx = desc
     if kind == "w":
         return b.w_comms[idx]
@@ -521,11 +522,8 @@ def _desc_point_batch(vk: VerifyingKey, b: VerifierBatch, desc, B: int):
     if kind == "adv":
         return b.adv_comms[idx]
     if kind in ("fixed", "sigma"):
-        key = (vk.hash_scalar(), kind, idx)
-        if key not in _VK_CONST_BATCH:
-            pts = vk.fixed_commitments if kind == "fixed" else vk.sigma_commitments
-            _VK_CONST_BATCH[key] = _points_to_batch([pts[idx]])
-        c = _VK_CONST_BATCH[key]
+        pts = vk.fixed_commitments if kind == "fixed" else vk.sigma_commitments
+        c = _points_to_batch([pts[idx]])
         bc = lambda a: jnp.broadcast_to(a, (B, fo.NLIMBS))
         return co.JacPoint(bc(c.x), bc(c.y), bc(c.z))
     if kind == "perm_z":
