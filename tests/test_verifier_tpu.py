@@ -66,6 +66,36 @@ def test_slow_path_matches_fast_and_host(setup_proofs):
 
 
 @pytest.mark.slow
+def test_gathered_step_retraces_cleanly(setup_proofs):
+    """Regression: tracing the gathered step twice under ONE vk (different
+    batch shapes -> different jit keys) must not leak tracers between
+    traces.  A per-vk constant cache in _desc_point_batch once stored
+    DynamicJaxprTracers from the first trace and poisoned the second
+    (UnexpectedTracerError when the sharded and single-chip paths ran in
+    one process); both traces must now produce host-exact quads."""
+    from halo2_aggregation_tpu.plonk.verifier_tpu import (
+        batch_proofs,
+        verify_algebra_fast,
+    )
+    from halo2_aggregation_tpu.plonk.verifier import parse_proof
+    from halo2_aggregation_tpu.ops import curve_ops as co
+
+    params, vk, insts, proofs = setup_proofs
+    for n in (1, 2):  # two trace keys, same vk
+        parsed = []
+        for ins, pf in zip(insts[:n], proofs[:n]):
+            ic = [params.commit_lagrange(col) for col in ins]
+            parsed.append(parse_proof(vk, ic, pf))
+        out = verify_algebra_fast(vk, batch_proofs(vk, parsed), parsed)
+        quads = {k: co.jac_to_ints(out[k]) for k in ("e", "f", "w", "zw")}
+        for i in range(n):
+            ok, efw = verify_proof(params, vk, insts[i], proofs[i])
+            assert ok
+            got = tuple(quads[k][i] for k in ("e", "f", "w", "zw"))
+            assert got == tuple(efw), f"retrace quad mismatch (B={n}, i={i})"
+
+
+@pytest.mark.slow
 def test_tpu_rejects_bad_proof(setup_proofs):
     params, vk, insts, proofs = setup_proofs
     bad = bytearray(proofs[0])
