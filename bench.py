@@ -274,7 +274,19 @@ def main():
     X0 = jnp.asarray(
         ntp.pack_columns_bitrev(cols_u64, _bit_reverse_indices(k_ntt))
     )
-    ntt_tws = native_twiddles(k_ntt)
+    from halo2_aggregation_tpu.utils import native as _native
+
+    if _native.available():
+        ntt_tws = native_twiddles(k_ntt)
+    else:
+        # no C++ engine: build the natural-order omega series on-device
+        # and take the documented prep_twiddles_dev fallback
+        from halo2_aggregation_tpu.plonk.quotient_device import fr_omega
+
+        omega_nat = ntp.pow_series_u8(
+            fr_omega(k_ntt), k_ntt, np.arange(n_ntt, dtype=np.int64)
+        )
+        ntt_tws = native_twiddles(k_ntt, omega_nat_u8=omega_nat)
     np.asarray(X0[:1, :1])  # force upload before timing
 
     def ntt_once():

@@ -1,19 +1,26 @@
-"""End-to-end demo mirroring the reference's `examples/simple-example.rs`.
+"""End-to-end demo mirroring the reference's `examples/simple-example.rs`,
+generalized to N inner proofs (H2A_NUM_PROOFS; the reference pins N=1,
+simple-example.rs:654).
 
-Phase A: build + prove the inner circuit (k=9, constant=7, a=2, b=3);
-         native verify -> (ok, (e,f,w,zw))
-Phase B: construct the outer SingleProofCircuit with the proof transcript
+Phase A: build + prove N inner circuits (k=9, constant=7, distinct a/b
+         witnesses); native verify each -> (ok, (e,f,w,zw))
+Phase B: construct the outer circuit with the proof transcripts —
+         SingleProofCircuit for N=1, AggregationCircuit (N verifier
+         chips + one in-circuit quad fold) for N>1
 Phase C: MockProver-equivalent on the outer circuit (H2A_FULL_MOCK=1;
-         witness-level quad equality is always checked)
+         witness-level quad + fold equality is always checked)
 Phase D: the REAL outer proof (simple-example.rs:678-730): keygen, prove,
          and verify the aggregation circuit through the scaled native
          prover — quotient on the TPU by default (Pallas NTT engine;
-         ~11-15 min at the default k=21 incl. keygen, ~19 min host-only
-         with H2A_DEVICE_QUOTIENT=0; H2A_OUTER_K overrides k).
+         ~11-15 min at the default N=1 k=21 incl. keygen, ~19 min
+         host-only with H2A_DEVICE_QUOTIENT=0; H2A_OUTER_K overrides k,
+         which otherwise grows with N: 22 for N=2, 23 for N=4).
          Gated by H2A_PHASE_D=1.
 
 Run: python examples/simple_example.py
      H2A_PHASE_D=1 python examples/simple_example.py   # + the outer proof
+     H2A_PHASE_D=1 H2A_NUM_PROOFS=2 python examples/simple_example.py
+         # the real 2-proof AGGREGATION proof @ k=22 (VERDICT r3 item 1)
 """
 
 import os
@@ -21,6 +28,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+#: distinct inner witnesses (constant=7, a, b) for up to 8 proofs
+WITNESSES = [(2, 3), (4, 5), (6, 11), (12, 13), (1, 255), (3, 9), (8, 21), (17, 2)]
 
 
 def main():
@@ -48,47 +58,76 @@ def main():
     cfs = cfg.constrained_fs
     t_write = PoseidonWrite if cfs else Blake2bWrite
     t_read = PoseidonRead if cfs else Blake2bRead
+    N = cfg.num_proofs
+    assert 1 <= N <= len(WITNESSES), f"num_proofs {N} not in [1, {len(WITNESSES)}]"
 
-    # --- Phase A: inner proof (simple-example.rs:560-644) ------------------
+    # --- Phase A: N inner proofs (simple-example.rs:560-644) ---------------
     k = cfg.k_inner
     t0 = time.time()
     params = kzg.setup(k)
-    circuit = se.MyCircuit(constant=7, a=2, b=3)
-    cs_e, _, asg_e = se.build(circuit.without_witnesses(), k=k)
-    vk, pk = keygen(params, cs_e, asg_e)
-    _, _, asg = se.build(circuit, k=k)
-    pub = [circuit.public_output()]
-
-    cs_w, _, asg_w = se.build(circuit, k=k)
-    assert mock_verify_fast(cs_w, asg_w) == []
-    print(f"inner mock prover succeeded ({time.time()-t0:.1f}s)")
-
-    proof = create_proof(params, pk, asg, [pub], seed=42, transcript_cls=t_write)
-    print(f"proof size is {len(proof)} bytes")
-    ok, efw = verify_proof(params, vk, [pub], proof, transcript_cls=t_read)
-    assert ok
-    print(f"simple-circuit proof valid! (transcript: {t_write.__name__})")
-    inst_comm = params.commit_lagrange(pub)
+    proofs, comms, efws = [], [], []
+    vk = None
+    for i, (a, b) in enumerate(WITNESSES[:N]):
+        circuit = se.MyCircuit(constant=7, a=a, b=b)
+        cs_e, _, asg_e = se.build(circuit.without_witnesses(), k=k)
+        vk_i, pk_i = keygen(params, cs_e, asg_e)
+        if vk is None:
+            vk = vk_i  # all N share one circuit structure, hence one vk
+        _, _, asg_i = se.build(circuit, k=k)
+        pub_i = [circuit.public_output()]
+        if i == 0:
+            cs_w, _, asg_w = se.build(circuit, k=k)
+            assert mock_verify_fast(cs_w, asg_w) == []
+            print(f"inner mock prover succeeded ({time.time()-t0:.1f}s)")
+        proof_i = create_proof(
+            params, pk_i, asg_i, [pub_i], seed=42 + i, transcript_cls=t_write
+        )
+        ok_i, efw_i = verify_proof(
+            params, vk, [pub_i], proof_i, transcript_cls=t_read
+        )
+        assert ok_i
+        proofs.append(proof_i)
+        comms.append(params.commit_lagrange(pub_i))
+        efws.append(efw_i)
+    print(
+        f"{N} inner proof(s) of {len(proofs[0])} bytes each, all valid! "
+        f"(transcript: {t_write.__name__})"
+    )
 
     # --- Phase B: outer circuit (simple-example.rs:645-672) ----------------
-    # k=21: GLV + windowed mul_var + shared-doubling multiopen MSMs cut
-    # the verifier circuit from round-1's 4.58M rows @ k=23 to ~1.23M;
-    # the reference needs k=23 (simple-example.rs:654) for the same
-    # statement.
+    # k=21 for N=1: GLV + windowed mul_var + shared-doubling multiopen MSMs
+    # cut the verifier circuit from round-1's 4.58M rows @ k=23 to ~1.23M;
+    # the reference needs k=23 (simple-example.rs:654) for one proof.
+    # Each extra proof adds ~1.30M rows, so k grows by ceil(log2 N).
     outer_k = cfg.k_outer
-    outer = ac.SingleProofCircuit(vk, proof, constrained_fs=cfs)
-    public_inputs = outer.public_inputs(inst_comm, efw)
+    if N == 1:
+        outer = ac.SingleProofCircuit(vk, proofs[0], constrained_fs=cfs)
+        public_inputs = outer.public_inputs(comms[0], efws[0])
+    else:
+        outer = ac.AggregationCircuit(
+            vk, proofs, num_proofs=N, constrained_fs=cfs
+        )
+        public_inputs = outer.public_inputs(comms, efws)
     print(f"outer public inputs: {len(public_inputs)} scalars")
 
     # --- Phase C: constraint check (simple-example.rs:674-676) -------------
     t0 = time.time()
-    cs_o, cfg_o, asg_o, ctx_o, quad = ac.build(outer, outer_k, public_inputs)
-    assert [quad.e.value(), quad.f.value(), quad.w.value(), quad.zw.value()] == list(
-        efw
-    ), "in-circuit quad != native quad"
+    cs_o, cfg_o, asg_o, ctx_o, out = ac.build(outer, outer_k, public_inputs)
+    if N == 1:
+        quads, W, RHS = [out], None, None
+    else:
+        quads, W, RHS = out
+    for q, efw in zip(quads, efws):
+        got = [q.e.value(), q.f.value(), q.w.value(), q.zw.value()]
+        assert got == list(efw), "in-circuit quad != native quad"
+    if N > 1:
+        W_want, RHS_want = ac.fold_quads_host(efws, constrained_fs=cfs)
+        assert (W.value(), RHS.value()) == (W_want, RHS_want), "in-circuit fold"
     print(
         f"in-circuit verifier synthesized: {ctx_o.offset} rows @ k={outer_k} "
-        f"({time.time()-t0:.1f}s); quad matches native verifier"
+        f"({time.time()-t0:.1f}s); {N} quad(s)"
+        + (" + lambda-fold" if N > 1 else "")
+        + " match the native verifier"
     )
     if os.environ.get("H2A_FULL_MOCK", "0") == "1":
         t0 = time.time()
@@ -126,7 +165,10 @@ def main():
         t0 = time.time()
         ok_o, efw_o = verify_proof(params_o, vk_o, [public_inputs], outer_proof)
         assert ok_o, "outer aggregation proof rejected"
-        print(f"aggregation proof valid! ({time.time()-t0:.0f}s)")
+        print(
+            f"aggregation proof valid! ({time.time()-t0:.0f}s) — "
+            f"{N} inner proof(s) -> one {len(outer_proof)}-byte proof"
+        )
 
     print("done.")
 

@@ -23,7 +23,7 @@ from .kzg import Params
 VK_HASH_PERSONALIZATION = b"Halo2-Verify-Key"
 
 
-@dataclass
+@dataclass(frozen=True)
 class VerifyingKey:
     k: int
     cs: ConstraintSystem

@@ -72,7 +72,12 @@ def native_twiddles(k: int, ntp=None, omega_nat_u8=None):
     if ntp is None:
         from ..ops import ntt_pallas as ntp
     if not native.available():
-        assert omega_nat_u8 is not None
+        if omega_nat_u8 is None:
+            raise ValueError(
+                "native engine unavailable: native_twiddles needs the "
+                "device omega series (omega_nat_u8) for the "
+                "prep_twiddles_dev fallback"
+            )
         return ntp.prep_twiddles_dev(omega_nat_u8, k)
     from . import engine
 

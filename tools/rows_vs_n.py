@@ -75,12 +75,15 @@ for n in (1, 2, 4):
     )
 
 ns = sorted(rows)
-slopes = [
-    (rows[b] - rows[a]) / (b - a) for a, b in zip(ns, ns[1:])
-]
-m = slopes[-1]
-c0 = rows[ns[-1]] - m * ns[-1]
-print(f"rows/proof slope ~= {m:.0f}, intercept ~= {c0:.0f}")
+# actual least-squares fit over ALL measured N points (ADVICE r3)
+import numpy as np
+
+m, c0 = np.polyfit(ns, [rows[n] for n in ns], 1)
+resid = max(abs(rows[n] - (m * n + c0)) for n in ns)
+print(
+    f"least-squares rows/proof slope ~= {m:.0f}, intercept ~= {c0:.0f} "
+    f"(max residual {resid:.0f} rows over N={ns})"
+)
 for n in (8, 16, 64):
     est = c0 + m * n
     import math
