@@ -170,6 +170,36 @@ def main():
             f"{N} inner proof(s) -> one {len(outer_proof)}-byte proof"
         )
 
+        # Persist the level-1 artifacts (proof bytes, vk, public inputs,
+        # quad, instance commitment) so the two-level recursion tree
+        # (tools/level2_probe.py, docs/AGGREGATION_SCALING.md) can verify
+        # REAL outer proofs in a second-level circuit.
+        adir = os.environ.get("H2A_ARTIFACTS_DIR", "")
+        if adir:
+            import json
+            import pickle
+
+            os.makedirs(adir, exist_ok=True)
+            stem = f"{adir}/outer_n{N}_k{outer_k}"
+            with open(f"{stem}.proof", "wb") as f:
+                f.write(outer_proof)
+            with open(f"{stem}.vk.pkl", "wb") as f:
+                pickle.dump(vk_o, f)
+            inst_comm_o = params_o.commit_lagrange(public_inputs)
+            with open(f"{stem}.meta.json", "w") as f:
+                json.dump(
+                    {
+                        "k": outer_k,
+                        "num_proofs": N,
+                        "constrained_fs": cfs,
+                        "public_inputs": [str(v) for v in public_inputs],
+                        "efw": [[str(c) for c in p] for p in efw_o],
+                        "inst_comm": [str(c) for c in inst_comm_o],
+                    },
+                    f,
+                )
+            print(f"level-1 artifacts saved under {adir}/")
+
     print("done.")
 
 

@@ -67,15 +67,26 @@ def _relax(x, rounds):
     return x
 
 
-def _carry(x, n_out):
-    """Exact carry propagation (non-negative cols < 2^30) -> canonical
-    limbs of value mod 2^(8*n_out); Kogge-Stone lookahead along sublanes."""
+def _carry(x, n_out, rounds=1):
+    """Exact carry propagation (non-negative cols) -> canonical limbs of
+    value mod 2^(8*n_out); Kogge-Stone lookahead along sublanes.
+
+    `rounds` ripple rounds must bring every column <= 511 — the final
+    built-in round then yields s in [0, 256], which the lookahead
+    resolves exactly (g = s>>8 in {0,1}, p = s==255).  Call-site bounds
+    (derived in ROADMAP 'relaxed-domain mont-mul'):
+      * rounds=1 covers cols <= ~128K (r1: 255 + C>>8 <= 511 iff
+        C <= 65.5K; the actual users are _add/_sub/_cond_sub at
+        C <= 770);
+      * rounds=2 covers cols <= ~16.7M (mont's t+u at <= 4.6M).
+    The round-3 kernel spent 5 ripple rounds on every carry; these were
+    pure issue-rate overhead at the real bounds."""
     k = x.shape[0]
     if k < n_out:
         x = jnp.pad(x, [(0, n_out - k)] + [(0, 0)] * (x.ndim - 1))
     elif k > n_out:
         x = x[:n_out]
-    for _ in range(4):
+    for _ in range(rounds):
         x = (x & _MASK) + _shift_dn(x >> LIMB_BITS)
     s = (x & _MASK) + _shift_dn(x >> LIMB_BITS)  # cols in [0, 256]
     g = s >> LIMB_BITS
@@ -90,31 +101,78 @@ def _carry(x, n_out):
     return (s + _shift_dn(g)) & _MASK
 
 
+_CONV_GROUP = 4
+
+
 def _conv(a, b, n_out):
     """Limb convolution along sublanes: out[k] = sum_{i+j=k} a[i]*b[j],
-    truncated to n_out columns (n_out=32 is the mod-2^256 low half)."""
+    truncated to n_out columns (n_out=32 is the mod-2^256 low half).
+
+    MACs run in groups of G=4: four pre-shifted copies of b (one-time
+    +0..+3 sublane pads) let each group accumulate in a (NLIMBS+3, T)
+    block with ONE large sublane pad per group instead of per product.
+    The pads are register shuffles that occupy ALU issue slots without
+    doing arithmetic (ROADMAP 'issue rate'); grouping cuts them 4x for
+    +3 zero rows per multiply."""
     t = b.shape[-1]
+    G = _CONV_GROUP
+    rows = NLIMBS + G - 1
+    bs = [jnp.pad(b, [(j, G - 1 - j), (0, 0)]) for j in range(G)]
     out = jnp.zeros((n_out, t), jnp.int32)
-    for i in range(NLIMBS):
-        prod = a[i : i + 1, :] * b  # (32, T) via sublane broadcast
-        take = min(NLIMBS, n_out - i)
+    for i0 in range(0, NLIMBS, G):
+        take = min(rows, n_out - i0)
         if take <= 0:
             break
-        out = out + jnp.pad(
-            prod[:take], [(i, n_out - i - take), (0, 0)]
-        )
-        del prod
+        acc = a[i0 : i0 + 1, :] * bs[0]
+        for j in range(1, G):
+            acc = acc + a[i0 + j : i0 + j + 1, :] * bs[j]
+        out = out + jnp.pad(acc[:take], [(i0, n_out - i0 - take), (0, 0)])
+        del acc
     return out
 
 
 def _mont_mul(fc, a, b):
-    """a, b canonical 8-bit limbs, values < 2p each -> < 2p."""
-    t = _conv(a, b, 2 * NLIMBS)  # cols < 2^21
-    tl = _relax(t[:NLIMBS], 2)  # <= 287, value mod 2^256 preserved
+    """Exact Montgomery product: limbs in [0, 2^9), values < 2p each ->
+    CANONICAL 8-bit limbs, value < 2p.  The NTT engine stores results as
+    u8, so this variant keeps the exact carry; the EC formulas use
+    `_mont_mul_r` except for z-coordinates (whose canonical rep feeds
+    `_is_zero`)."""
+    t = _conv(a, b, 2 * NLIMBS)  # cols < 32*257^2 < 2^21.1
+    tl = _relax(t[:NLIMBS], 2)  # <= 288, value mod 2^256 preserved
+    m = _relax(_conv(tl, fc[_PINV], NLIMBS), 2)  # <= 291
+    u = _conv(m, fc[_P], 2 * NLIMBS)  # cols < 2^21.2
+    s = _carry(t + u, 2 * NLIMBS, rounds=2)  # t+u <= 4.6M
+    return s[NLIMBS:]
+
+
+def _low_nonzero(x):
+    """(NLIMBS, T) non-negative columns -> (1, T) int32: 1 iff any col
+    is nonzero (sum-reduce: cols <= 2^9 so no overflow at 32 rows)."""
+    return (jnp.sum(x, axis=0, keepdims=True) != 0).astype(jnp.int32)
+
+
+def _mont_mul_r(fc, a, b):
+    """RELAXED-domain Montgomery product (ROADMAP round-4 item: the
+    issue-rate fix).  Same contract as `_mont_mul` — limbs < 2^9, value
+    < 2p in, value < 2p out — but the result is a possibly NON-canonical
+    limb representation (limbs <= 257), so it must not feed `_is_zero`
+    or a u8 store; `_add`/`_sub`/`_conv`/`_final_kernel` all accept it.
+
+    Replaces the exact ~3K-op `_carry` ending (5 ripple rounds + 6-level
+    Kogge-Stone over 64 limbs) with 3 partial-carry rounds + ONE
+    carry-out detect: after relaxing, the low half V_low has limbs
+    <= 256, is ≡ 0 mod 2^256 (Montgomery construction), and is
+    < 1.004 * 2^256, hence V_low ∈ {0, 2^256} — the carry into the high
+    half is simply any(low != 0)."""
+    t = _conv(a, b, 2 * NLIMBS)
+    tl = _relax(t[:NLIMBS], 2)
     m = _relax(_conv(tl, fc[_PINV], NLIMBS), 2)
     u = _conv(m, fc[_P], 2 * NLIMBS)
-    s = _carry(t + u, 2 * NLIMBS)
-    return s[NLIMBS:]
+    s = _relax(t + u, 3)  # limbs <= 256 (t+u cols <= 4.6M < 2^24)
+    carry = _low_nonzero(s[:NLIMBS])
+    hi = s[NLIMBS:]
+    one_hot0 = lax.broadcasted_iota(jnp.int32, (NLIMBS, 1), 0) == 0
+    return hi + jnp.where(one_hot0, carry, 0)
 
 
 def _cond_sub(fc_comp, a):
@@ -131,7 +189,10 @@ def _add(fc, a, b):
 
 
 def _sub(fc, a, b):
-    # a - b + 2p (+ 2^256, dropped by the mod-2^256 carry)
+    # a - b + 2p (+ 2^256, dropped by the mod-2^256 carry).  Accepts
+    # RELAXED limbs: columns stay non-negative for b_i <= 257 because
+    # the smallest byte of 2p is 2 (255 + 2 - 257 = 0); `_mont_mul_r`
+    # guarantees <= 257.
     one_hot0 = (
         lax.broadcasted_iota(jnp.int32, (NLIMBS, 1), 0) == 0
     ).astype(jnp.int32)
@@ -152,39 +213,42 @@ def _sel(mask, a, b):
 
 
 def _jac_double(fc, x, y, z):
-    A = _mont_mul(fc, x, x)
-    Bb = _mont_mul(fc, y, y)
-    C = _mont_mul(fc, Bb, Bb)
+    # all intermediates relaxed (_mont_mul_r); x3/y3 exit through _sub
+    # (canonical), z3 through the exact _mont_mul (feeds _is_zero)
+    A = _mont_mul_r(fc, x, x)
+    Bb = _mont_mul_r(fc, y, y)
+    C = _mont_mul_r(fc, Bb, Bb)
     t = _add(fc, x, Bb)
-    t = _mont_mul(fc, t, t)
+    t = _mont_mul_r(fc, t, t)
     D = _sub(fc, _sub(fc, t, A), C)
     D = _add(fc, D, D)
     E = _add(fc, _add(fc, A, A), A)
-    F = _mont_mul(fc, E, E)
+    F = _mont_mul_r(fc, E, E)
     x3 = _sub(fc, F, _add(fc, D, D))
     c8 = _add(fc, C, C)
     c8 = _add(fc, c8, c8)
     c8 = _add(fc, c8, c8)
-    y3 = _sub(fc, _mont_mul(fc, E, _sub(fc, D, x3)), c8)
+    y3 = _sub(fc, _mont_mul_r(fc, E, _sub(fc, D, x3)), c8)
     z3 = _mont_mul(fc, _add(fc, y, y), z)
     return x3, y3, z3
 
 
 def _jac_add(fc, x1, y1, z1, x2, y2, z2):
-    z1z1 = _mont_mul(fc, z1, z1)
-    z2z2 = _mont_mul(fc, z2, z2)
-    u1 = _mont_mul(fc, x1, z2z2)
-    u2 = _mont_mul(fc, x2, z1z1)
-    s1 = _mont_mul(fc, y1, _mont_mul(fc, z2, z2z2))
-    s2 = _mont_mul(fc, y2, _mont_mul(fc, z1, z1z1))
+    # intermediates relaxed; z3's OUTER product exact (feeds _is_zero)
+    z1z1 = _mont_mul_r(fc, z1, z1)
+    z2z2 = _mont_mul_r(fc, z2, z2)
+    u1 = _mont_mul_r(fc, x1, z2z2)
+    u2 = _mont_mul_r(fc, x2, z1z1)
+    s1 = _mont_mul_r(fc, y1, _mont_mul_r(fc, z2, z2z2))
+    s2 = _mont_mul_r(fc, y2, _mont_mul_r(fc, z1, z1z1))
     h = _sub(fc, u2, u1)
     r = _sub(fc, s2, s1)
-    h2 = _mont_mul(fc, h, h)
-    h3 = _mont_mul(fc, h2, h)
-    u1h2 = _mont_mul(fc, u1, h2)
-    x3 = _sub(fc, _sub(fc, _mont_mul(fc, r, r), h3), _add(fc, u1h2, u1h2))
-    y3 = _sub(fc, _mont_mul(fc, r, _sub(fc, u1h2, x3)), _mont_mul(fc, s1, h3))
-    z3 = _mont_mul(fc, _mont_mul(fc, z1, z2), h)
+    h2 = _mont_mul_r(fc, h, h)
+    h3 = _mont_mul_r(fc, h2, h)
+    u1h2 = _mont_mul_r(fc, u1, h2)
+    x3 = _sub(fc, _sub(fc, _mont_mul_r(fc, r, r), h3), _add(fc, u1h2, u1h2))
+    y3 = _sub(fc, _mont_mul_r(fc, r, _sub(fc, u1h2, x3)), _mont_mul_r(fc, s1, h3))
+    z3 = _mont_mul(fc, _mont_mul_r(fc, z1, z2), h)
 
     p_inf = _is_zero(fc, z1)
     q_inf = _is_zero(fc, z2)
@@ -208,16 +272,16 @@ def _jac_add_mixed(fc, x1, y1, z1, x2, y2):
     Handles bucket-at-infinity (z1 == 0 -> (x2, y2, 1)) and the
     bucket==point case (h == r == 0 -> double); P + (-P) falls out as
     z3 = z1*h = 0."""
-    z1z1 = _mont_mul(fc, z1, z1)
-    u2 = _mont_mul(fc, x2, z1z1)
-    s2 = _mont_mul(fc, y2, _mont_mul(fc, z1, z1z1))
+    z1z1 = _mont_mul_r(fc, z1, z1)
+    u2 = _mont_mul_r(fc, x2, z1z1)
+    s2 = _mont_mul_r(fc, y2, _mont_mul_r(fc, z1, z1z1))
     h = _sub(fc, u2, x1)
     r = _sub(fc, s2, y1)
-    h2 = _mont_mul(fc, h, h)
-    h3 = _mont_mul(fc, h2, h)
-    u1h2 = _mont_mul(fc, x1, h2)
-    x3 = _sub(fc, _sub(fc, _mont_mul(fc, r, r), h3), _add(fc, u1h2, u1h2))
-    y3 = _sub(fc, _mont_mul(fc, r, _sub(fc, u1h2, x3)), _mont_mul(fc, y1, h3))
+    h2 = _mont_mul_r(fc, h, h)
+    h3 = _mont_mul_r(fc, h2, h)
+    u1h2 = _mont_mul_r(fc, x1, h2)
+    x3 = _sub(fc, _sub(fc, _mont_mul_r(fc, r, r), h3), _add(fc, u1h2, u1h2))
+    y3 = _sub(fc, _mont_mul_r(fc, r, _sub(fc, u1h2, x3)), _mont_mul_r(fc, y1, h3))
     z3 = _mont_mul(fc, z1, h)
 
     p_inf = _is_zero(fc, z1)

@@ -226,9 +226,10 @@ def test_four_proof_aggregation_circuit(inner_proof):
 
 @pytest.mark.slow
 @pytest.mark.skipif(
-    os.environ.get("H2A_MULTIPROOF8", "0") != "1",
-    reason="8-proof synthesis at k=24 (~8 min, ~55GB); enable with "
-    "H2A_MULTIPROOF8=1 (VERDICT r2 item 6: the N-scaling probe)",
+    os.environ.get("H2A_MULTIPROOF8", "1") != "1",
+    reason="8-proof synthesis at k=24 (~8 min, ~55GB); DEFAULT-ON in the "
+    "slow suite since round 4 (VERDICT r3 weak-4: the deepest N-scaling "
+    "point must run in CI); H2A_MULTIPROOF8=0 opts out",
 )
 def test_eight_proof_aggregation_circuit(inner_proof):
     """VERDICT r2 item 6: scale the outer circuit past N=4.  Eight inner

@@ -235,3 +235,39 @@ def test_window_extraction_matches_kernel_layout():
     for t, k in enumerate(ks):
         for w in range(64):
             assert wins[w, t] == (k >> (4 * w)) & 15
+
+
+def test_mont_mul_relaxed_contract():
+    """_mont_mul_r (round-4 issue-rate fix): same VALUE as the exact
+    product, limbs bounded by 257 (the _sub headroom limit — the
+    smallest byte of 2p is 2), stable under deep chaining, and accepted
+    by _add/_sub/_cond_sub/_mont_mul without canonicalizing first."""
+    fc = _fc()
+    a, b = rand_fq(T), rand_fq(T)
+    A, B = _enc_mont(a), _enc_mont(b)
+    r = ep._mont_mul_r(fc, A, B)
+    assert _dec_mont_modp(r) == [x * y % Q for x, y in zip(a, b)]
+    assert int(np.asarray(r).max()) <= 257
+    assert all(v < 2 * Q for v in _dec(r))
+    # chain 32 squarings through the relaxed domain: bounds must hold at
+    # the fixed point, value must track the oracle
+    want = [x * y % Q for x, y in zip(a, b)]
+    for _ in range(32):
+        r = ep._mont_mul_r(fc, r, r)
+        want = [v * v % Q for v in want]
+    assert int(np.asarray(r).max()) <= 257
+    assert _dec_mont_modp(r) == want
+    # relaxed operands through the canonicalizing ops
+    r2 = ep._mont_mul_r(fc, A, B)
+    ab = [x * y % Q for x, y in zip(a, b)]
+    assert _dec_mont_modp(ep._add(fc, r2, r2)) == [2 * v % Q for v in ab]
+    assert _dec_mont_modp(ep._sub(fc, A, r2)) == [
+        (x - v) % Q for x, v in zip(a, ab)
+    ]
+    assert _dec_mont_modp(ep._sub(fc, r2, A)) == [
+        (v - x) % Q for x, v in zip(a, ab)
+    ]
+    # exact product of relaxed operands stays canonical 8-bit
+    e = ep._mont_mul(fc, r2, r2)
+    assert int(np.asarray(e).max()) <= 255
+    assert _dec_mont_modp(e) == [v * v % Q for v in ab]

@@ -146,3 +146,45 @@ def test_sharded_verify_algebra_fast_matches_host(proofs_k9):
         assert ok
         got = (quads["e"][i], quads["f"][i], quads["w"][i], quads["zw"][i])
         assert got == tuple(efw), f"sharded quad mismatch at proof {i}"
+
+
+@pytest.mark.slow
+def test_gspmd_matches_shmap_tiny_mesh(proofs_k9):
+    """Cross-check the two mesh formulations AGAINST EACH OTHER at the
+    smallest nontrivial shape (B=2 over a dp=2, mp=1 mesh — an edge the
+    mesh-8 tests don't cover): if the hand-written shard_map `local`
+    program ever diverges from the GSPMD-partitioned `fast_device`, this
+    catches it (VERDICT r3 weak-6).  Quick-suite placement was measured
+    and rejected: each formulation costs 3-4 min COLD on this host (the
+    XLA scan-ladder compile dominates; docs/ROUND4_NOTES.md), which
+    would triple the ~2.5 min quick suite."""
+    from halo2_aggregation_tpu.parallel.batch_verify import (
+        sharded_verify_algebra_fast,
+        shmap_verify_algebra_fast,
+    )
+    from halo2_aggregation_tpu.plonk.verifier import parse_proof, verify_proof
+    from halo2_aggregation_tpu.plonk.verifier_tpu import batch_proofs
+
+    params, vk, insts, proofs = proofs_k9
+    mesh = make_mesh(2)
+    assert dict(mesh.shape) == {"dp": 2, "mp": 1}
+    B = 2
+    parsed = [
+        parse_proof(
+            vk,
+            [params.commit_lagrange(col) for col in insts[i % 2]],
+            proofs[i % 2],
+        )
+        for i in range(B)
+    ]
+    batch = batch_proofs(vk, parsed)
+    out1 = shmap_verify_algebra_fast(mesh, vk, batch, parsed)
+    out2 = sharded_verify_algebra_fast(mesh, vk, batch, parsed)
+    q1 = {n: co.jac_to_ints(out1[n]) for n in ("e", "f", "w", "zw")}
+    q2 = {n: co.jac_to_ints(out2[n]) for n in ("e", "f", "w", "zw")}
+    assert q1 == q2, "shard_map and GSPMD formulations diverged"
+    for i in range(B):
+        ok, efw = verify_proof(params, vk, insts[i % 2], proofs[i % 2])
+        assert ok
+        got = (q1["e"][i], q1["f"][i], q1["w"][i], q1["zw"][i])
+        assert got == tuple(efw), f"mesh quad != host verifier at proof {i}"
