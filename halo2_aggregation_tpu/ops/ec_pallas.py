@@ -43,14 +43,29 @@ from .field_ops import FQ
 
 _MASK = (1 << LIMB_BITS) - 1
 
-# constant indices into the fc (field-constant) tuple
-_P, _PINV, _TWOP, _COMP2P, _ONE = range(5)
+# constant indices into the fc (field-constant) tuple; slot 2 (_SUBK)
+# holds the _sub constant 2p - 2S (see _sub_const_cols), NOT plain 2p
+_P, _PINV, _SUBK, _COMP2P, _ONE = range(5)
+
+#: S = 0x0101...01 = (2^256 - 1)/255 — the all-ones-bytes integer; the
+#: per-limb complement (257 - b_i) contributes 257*S = (2^256 - 1) + 2S,
+#: so _sub's constant pre-subtracts the 2S surplus
+_SUB_BIAS = ((1 << 256) - 1) // 255
 
 
 def _ints_to_cols(x: int, nlimbs: int) -> np.ndarray:
     return np.array(
         [(x >> (LIMB_BITS * i)) & _MASK for i in range(nlimbs)], np.int32
     )
+
+
+def _sub_const_cols(p_int: int) -> np.ndarray:
+    """Limbs of 2p - 2S, the fc[_SUBK] constant: with the 257-complement
+    in `_sub`, columns stay non-negative for ANY modulus p and any
+    relaxed operand limbs <= 257 (the old 255-complement + plain-2p form
+    needed every byte of 2p to be >= 2, which holds for Fq but NOT for
+    Fr — 2R has a zero byte)."""
+    return _ints_to_cols(2 * p_int - 2 * _SUB_BIAS, NLIMBS)
 
 
 def _shift_dn(e, k=1):
@@ -189,14 +204,15 @@ def _add(fc, a, b):
 
 
 def _sub(fc, a, b):
-    # a - b + 2p (+ 2^256, dropped by the mod-2^256 carry).  Accepts
-    # RELAXED limbs: columns stay non-negative for b_i <= 257 because
-    # the smallest byte of 2p is 2 (255 + 2 - 257 = 0); `_mont_mul_r`
-    # guarantees <= 257.
+    # a - b + 2p (+ 2^256, dropped by the mod-2^256 carry), via the
+    # 257-complement: t_i = a_i + (2p - 2S)_i + (257 - b_i) + [i == 0],
+    # whose total is a - b + 2p + 2^256 (257*S = 2^256 - 1 + 2S) and
+    # whose columns are non-negative for ANY modulus and any RELAXED
+    # operand limbs <= 257 (`_mont_mul_r`'s bound).
     one_hot0 = (
         lax.broadcasted_iota(jnp.int32, (NLIMBS, 1), 0) == 0
     ).astype(jnp.int32)
-    t = a + fc[_TWOP] + (_MASK - b) + one_hot0
+    t = a + fc[_SUBK] + ((_MASK + 2) - b) + one_hot0
     return _cond_sub(fc[_COMP2P], _carry(t, NLIMBS))
 
 
@@ -613,7 +629,7 @@ def scalar_mul_pallas2(points_jac, scalars, nbits=254, tile=128, interpret=False
     consts = [
         tconst(FQ.p_limbs),
         tconst(FQ.p_inv_neg),
-        tconst(_ints_to_cols(2 * p_int, NLIMBS)),
+        tconst(_sub_const_cols(p_int)),
         tconst(_ints_to_cols((1 << 256) - 2 * p_int, NLIMBS)),
         tconst(FQ.one_mont),
     ]
@@ -675,7 +691,7 @@ def scalar_mul_pallas_win(points_jac, scalars, nbits=254, tile=128, interpret=Fa
     consts = [
         tconst(FQ.p_limbs),
         tconst(FQ.p_inv_neg),
-        tconst(_ints_to_cols(2 * p_int, NLIMBS)),
+        tconst(_sub_const_cols(p_int)),
         tconst(_ints_to_cols((1 << 256) - 2 * p_int, NLIMBS)),
         tconst(FQ.one_mont),
     ]
@@ -749,7 +765,7 @@ def msm_bucket_pallas(xs, ys, scalars, nbits=254, tile=128, interpret=False):
     consts = [
         tconst(FQ.p_limbs),
         tconst(FQ.p_inv_neg),
-        tconst(_ints_to_cols(2 * p_int, NLIMBS)),
+        tconst(_sub_const_cols(p_int)),
         tconst(_ints_to_cols((1 << 256) - 2 * p_int, NLIMBS)),
         tconst(FQ.one_mont),
     ]
@@ -915,7 +931,7 @@ def msm_bucket_pallas_s5(xs, ys, scalars, nbits=254, tile=128, interpret=False,
     consts = [
         tconst(FQ.p_limbs),
         tconst(FQ.p_inv_neg),
-        tconst(_ints_to_cols(2 * p_int, NLIMBS)),
+        tconst(_sub_const_cols(p_int)),
         tconst(_ints_to_cols((1 << 256) - 2 * p_int, NLIMBS)),
         tconst(FQ.one_mont),
     ]

@@ -49,7 +49,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..fields import NLIMBS, R
-from .ec_pallas import _add, _cond_sub, _ints_to_cols, _mont_mul, _sub
+from .ec_pallas import (
+    _add,
+    _cond_sub,
+    _ints_to_cols,
+    _mont_mul,
+    _sub,
+    _sub_const_cols,
+)
 from .field_ops import FR
 
 TL = 128  # lane tile
@@ -63,7 +70,7 @@ def _fr_consts(tile=TL):
     return (
         tconst(FR.p_limbs),
         tconst(FR.p_inv_neg),
-        tconst(_ints_to_cols(2 * R, NLIMBS)),
+        tconst(_sub_const_cols(R)),
         tconst(_ints_to_cols((1 << 256) - 2 * R, NLIMBS)),
         tconst(FR.one_mont),
         tconst(_ints_to_cols((1 << 256) - R, NLIMBS)),  # comp_p (canon)

@@ -157,6 +157,25 @@ def batch_proofs(vk: VerifyingKey, parsed: List[ParsedProof]) -> VerifierBatch:
     )
 
 
+def _use_fused_fa() -> bool:
+    """Route the verifier's scalar field algebra through the fused
+    Pallas kernel (plonk/fa_fused.py) on TPU — the XLA formulation is
+    ~50K tiny latency-bound ops there.  CPU keeps the XLA path (Mosaic
+    interpret mode is unusable on this host; the fused body is
+    parity-pinned by tests/test_fa_fused.py instead).
+    H2A_FUSED_FA=0 forces the XLA path everywhere."""
+    import os
+
+    if os.environ.get("H2A_FUSED_FA", "1") != "1":
+        return False
+    try:
+        return any(
+            kk in jax.default_backend().lower() for kk in ("tpu", "axon")
+        )
+    except Exception:
+        return False
+
+
 def _ec_mul_mont(point: co.JacPoint, scalar_mont):
     """Scalar mul where the scalar arrives in Montgomery form: decode to
     plain limbs on device, then 254-bit double-and-add (Pallas ladder on
@@ -662,7 +681,12 @@ def fast_device(
     per-component tree sums."""
     from ..ops.ec_pallas import scalar_mul_auto
 
-    h_eval, _, _ = field_algebra(vk, b, B)
+    if _use_fused_fa():
+        from .fa_fused import field_algebra_fused
+
+        h_eval, _, _ = field_algebra_fused(vk, b, B)
+    else:
+        h_eval, _, _ = field_algebra(vk, b, B)
 
     # e-lane scalar: -(eval_known + h_coeff * h_eval), decoded to plain limbs
     eval_multi = fo.add(

@@ -32,7 +32,7 @@ def _fc():
     return (
         tconst(FQ.p_limbs),
         tconst(FQ.p_inv_neg),
-        tconst(ep._ints_to_cols(2 * Q, ep.NLIMBS)),
+        tconst(ep._sub_const_cols(Q)),
         tconst(ep._ints_to_cols((1 << 256) - 2 * Q, ep.NLIMBS)),
         tconst(FQ.one_mont),
     )
