@@ -141,7 +141,14 @@ def shmap_verify_algebra_fast(mesh: Mesh, vk, batch: VerifierBatch, parsed):
     ms_loc = tuple(m // mp for m in ms)
 
     def local(b_loc, pts_loc, ss_loc, hc, kn):
-        h_eval, _, _ = field_algebra(vk, b_loc, B_loc)
+        from ..plonk.verifier_tpu import _use_fused_fa
+
+        if _use_fused_fa():
+            from ..plonk.fa_fused import field_algebra_fused
+
+            h_eval, _, _ = field_algebra_fused(vk, b_loc, B_loc)
+        else:
+            h_eval, _, _ = field_algebra(vk, b_loc, B_loc)
         eval_multi = fo.add(fo.mont_mul(hc, h_eval, FR), kn, FR)
         e_scalar = fo.from_mont(fo.neg(eval_multi, FR), FR)  # (B_loc, 32)
         on_rank0 = lax.axis_index("mp") == 0

@@ -275,58 +275,60 @@ def create_proof_native(
     g = FR_GENERATOR
     omega_ext = fr_omega(ext_k)
 
-    def coeffs_of(plain_col) -> np.ndarray:
-        return dom.intt(to_mont(plain_col))
-
-    adv_coeffs = [coeffs_of(c) for c in advice_plain]
-    fix_coeffs = [coeffs_of(c) for c in fixed_plain]
-    inst_coeffs = [coeffs_of(c) for c in inst_plain]
-    sig_coeffs = [coeffs_of(c) for c in sigma_plain]
-    permz_coeffs = [coeffs_of(c) for c in perm_z_plain]
-    lookup_coeffs = [
-        {
-            "a_prime": coeffs_of(lk["a_prime_plain"]),
-            "s_prime": coeffs_of(lk["s_prime_plain"]),
-            "z": coeffs_of(lk["z_plain"]),
-        }
-        for lk in lookups
-    ]
-    r_coeffs = coeffs_of(r_plain)
-
-    def one_hot(rows):
-        col = np.zeros((n, 4), np.uint64)
-        col[list(rows), 0] = 1
-        return coeffs_of(col)
-
-    l0_coeffs = one_hot([0])
-    llast_coeffs = one_hot([usable])
-    lblind_coeffs = one_hot(range(usable + 1, n))
-    log("coefficient transforms")
-
-    h_ext_m = np.empty((ext_n, 4), np.uint64)
+    # Incremental device-quotient feed: each column's packed bytes ship
+    # through an ASYNC device_put right after its INTT, so the ~100-200s
+    # tunnel H2D overlaps the remaining host INTT work instead of
+    # serializing after it (VERDICT r3 item 2 / ROADMAP item 1).
     dq = None
     if _use_device_quotient(k):
         from .quotient_device import DeviceQuotient
 
-        cols = {}
-        for i, c in enumerate(adv_coeffs):
-            cols[("advice", i)] = c
-        for i, c in enumerate(fix_coeffs):
-            cols[("fixed", i)] = c
-        for i, c in enumerate(inst_coeffs):
-            cols[("instance", i)] = c
-        for i, c in enumerate(sig_coeffs):
-            cols[("sigma", i)] = c
-        for ci, c in enumerate(permz_coeffs):
-            cols[("perm_z", ci)] = c
-        for li, lc in enumerate(lookup_coeffs):
-            cols[("lookup_a", li)] = lc["a_prime"]
-            cols[("lookup_s", li)] = lc["s_prime"]
-            cols[("lookup_z", li)] = lc["z"]
-        cols[("l0", 0)] = l0_coeffs
-        cols[("llast", 0)] = llast_coeffs
-        cols[("lblind", 0)] = lblind_coeffs
-        dq = DeviceQuotient(cs, k, cols)
+        dq = DeviceQuotient(cs, k)
+
+    def coeffs_of(plain_col, key=None) -> np.ndarray:
+        c = dom.intt(to_mont(plain_col))
+        if dq is not None and key is not None:
+            dq.feed(key, c)
+        return c
+
+    adv_coeffs = [
+        coeffs_of(c, ("advice", i)) for i, c in enumerate(advice_plain)
+    ]
+    fix_coeffs = [
+        coeffs_of(c, ("fixed", i)) for i, c in enumerate(fixed_plain)
+    ]
+    inst_coeffs = [
+        coeffs_of(c, ("instance", i)) for i, c in enumerate(inst_plain)
+    ]
+    sig_coeffs = [
+        coeffs_of(c, ("sigma", i)) for i, c in enumerate(sigma_plain)
+    ]
+    permz_coeffs = [
+        coeffs_of(c, ("perm_z", ci)) for ci, c in enumerate(perm_z_plain)
+    ]
+    lookup_coeffs = [
+        {
+            "a_prime": coeffs_of(lk["a_prime_plain"], ("lookup_a", li)),
+            "s_prime": coeffs_of(lk["s_prime_plain"], ("lookup_s", li)),
+            "z": coeffs_of(lk["z_plain"], ("lookup_z", li)),
+        }
+        for li, lk in enumerate(lookups)
+    ]
+    r_coeffs = coeffs_of(r_plain)
+
+    def one_hot(rows, key):
+        col = np.zeros((n, 4), np.uint64)
+        col[list(rows), 0] = 1
+        return coeffs_of(col, key)
+
+    l0_coeffs = one_hot([0], ("l0", 0))
+    llast_coeffs = one_hot([usable], ("llast", 0))
+    lblind_coeffs = one_hot(range(usable + 1, n), ("lblind", 0))
+    log("coefficient transforms")
+
+    h_ext_m = np.empty((ext_n, 4), np.uint64)
+    if dq is not None:
+        dq.finalize()
         log("quotient columns uploaded to device")
     for cj in range(step):
         shift = g * pow(omega_ext, cj, R) % R

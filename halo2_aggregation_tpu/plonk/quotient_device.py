@@ -140,7 +140,14 @@ class DeviceQuotient:
       ("l0"|"llast"|"lblind", 0)                      Lagrange selectors
     """
 
-    def __init__(self, cs: ConstraintSystem, k: int, columns: dict):
+    def __init__(self, cs: ConstraintSystem, k: int, columns: dict = None):
+        """`columns=None` selects INCREMENTAL mode: the prover calls
+        `feed(key, coeffs)` as each column's INTT finishes — the packed
+        (32, n)-u8 part ships through an ASYNC device_put so the
+        ~100-200s tunnel H2D overlaps the remaining host INTT work
+        instead of serializing after it (VERDICT r3 item 2 / ROADMAP
+        item 1's upload half) — then `finalize()` assembles the engine
+        stack on-device."""
         import os
 
         import jax
@@ -171,56 +178,32 @@ class DeviceQuotient:
         )
         self._ntp = ntp
 
-        self.keys = list(columns.keys())
-        self.key_idx = {key: i for i, key in enumerate(self.keys)}
-        self.C = len(self.keys)
-        if self.use_pallas:
-            import time
+        import time
 
-            tlog = (
-                (lambda m, t0=[time.time()]: (
-                    print(f"    [dq {time.time() - t0[0]:6.1f}s] {m}", flush=True),
-                    t0.__setitem__(0, time.time()),
-                ))
-                if os.environ.get("H2A_DQ_TIMING", "0") == "1"
-                else (lambda m: None)
-            )
+        self._tlog = (
+            (lambda m, t0=[time.time()]: (
+                print(f"    [dq {time.time() - t0[0]:6.1f}s] {m}", flush=True),
+                t0.__setitem__(0, time.time()),
+            ))
+            if os.environ.get("H2A_DQ_TIMING", "0") == "1"
+            else (lambda m: None)
+        )
+        self._finalized = False
+        if self.use_pallas:
             self.twiddles = None
             self.bitrev_np = nt._bit_reverse_indices(k)
-            packed = ntp.pack_columns_bitrev(
-                [columns[key] for key in self.keys], self.bitrev_np
-            )
-            tlog("host pack")
-            self.store_stack = jnp.asarray(packed)
-            np.asarray(self.store_stack[:1, :1])  # force upload
-            tlog("H2D store")
-            # natural-order omega powers (u8, device) feed both the
-            # twiddle tables (strided slices) and the per-coset
-            # evaluation points — no host twiddle loop, no XLA ladder
-            self.omega_nat_u8 = ntp.pow_series_u8(
-                fr_omega(k), k, np.arange(self.n, dtype=np.int64)
-            )
-            np.asarray(self.omega_nat_u8[:1, :1])
-            tlog("omega ladder")
-            self.tws = self._twiddles_native(k)
-            np.asarray(self.tws[0][:1, :1])
-            tlog("twiddles")
-            self._shift_pows_cache: dict = {}
-            self._tile_fn = None  # built lazily (jitted fused kernel)
+            self._parts = {}  # key -> device (32, n) u8 part (async H2D)
         else:
             # host-computed tables (NttPlan's twiddle loop is ~2^k Python
             # pows — only paid on the CPU/XLA path)
             plan = nt.NttPlan(k, fr_omega(k))
             self.bitrev = jnp.asarray(plan.bitrev)
             self.twiddles = tuple(jnp.asarray(t) for t in plan.stage_twiddles)
-            # upload every coefficient column once, packed
-            self.store = {
-                key: jnp.asarray(_pack_host(col))
-                for key, col in columns.items()
-            }
-            # omega powers (coset_x = shift*omega^i), computed on-device
-            omega_m = jnp.asarray(fo.FR.to_mont(fr_omega(k)))
-            self.omega_pows = nt.pow_series_dev(omega_m, self.n)
+            self.store = {}
+        if columns is not None:
+            for key, col in columns.items():
+                self.feed(key, col)
+            self.finalize()
 
         # leaf schedule: stable, deduped (key, rot) order
         sched: list = []
@@ -274,6 +257,66 @@ class DeviceQuotient:
                 fo.mont_mul_big(a, jnp.broadcast_to(b, a.shape), fo.FR)
             )
         )
+
+    def feed(self, key, col_u64):
+        """Pack one (n, 4)-u64 mont coefficient column and ship it — via
+        an ASYNC device_put on the Pallas path, so the tunnel transfer
+        overlaps the caller's remaining host INTT work."""
+        import jax
+        import jax.numpy as jnp
+
+        assert not self._finalized, "feed() after finalize()"
+        if self.use_pallas:
+            a = np.ascontiguousarray(col_u64, dtype="<u8")[self.bitrev_np]
+            part = np.ascontiguousarray(a.view(np.uint8).reshape(self.n, 32).T)
+            self._parts[key] = jax.device_put(part)
+        else:
+            self.store[key] = jnp.asarray(_pack_host(col_u64))
+
+    def finalize(self):
+        """Assemble the engine stack + device tables once every column
+        has been fed.  The (C*32, n) stack is a device-side concat of
+        the per-column parts — a buffer copy along the sublane-major
+        axis, not a (pathological) u8 relayout; parts are dropped right
+        after, so peak HBM is ~2x the stack (fits k<=22 easily, ~13.4GB
+        at k=23)."""
+        import jax.numpy as jnp
+
+        assert not self._finalized, "finalize() twice"
+        self._finalized = True
+        tlog = self._tlog
+        if self.use_pallas:
+            ntp = self._ntp
+            self.keys = list(self._parts.keys())
+            self.key_idx = {key: i for i, key in enumerate(self.keys)}
+            self.C = len(self.keys)
+            tlog("host pack + async H2D")
+            self.store_stack = jnp.concatenate(
+                [self._parts[key] for key in self.keys], axis=0
+            )
+            np.asarray(self.store_stack[:1, :1])  # force assembly
+            self._parts = None
+            tlog("device stack")
+            # natural-order omega powers (u8, device) feed both the
+            # twiddle tables (strided slices) and the per-coset
+            # evaluation points — no host twiddle loop, no XLA ladder
+            self.omega_nat_u8 = ntp.pow_series_u8(
+                fr_omega(self.k), self.k, np.arange(self.n, dtype=np.int64)
+            )
+            np.asarray(self.omega_nat_u8[:1, :1])
+            tlog("omega ladder")
+            self.tws = self._twiddles_native(self.k)
+            np.asarray(self.tws[0][:1, :1])
+            tlog("twiddles")
+            self._shift_pows_cache = {}
+            self._tile_fn = None  # built lazily (jitted fused kernel)
+        else:
+            self.keys = list(self.store.keys())
+            self.key_idx = {key: i for i, key in enumerate(self.keys)}
+            self.C = len(self.keys)
+            # omega powers (coset_x = shift*omega^i), computed on-device
+            omega_m = jnp.asarray(fo.FR.to_mont(fr_omega(self.k)))
+            self.omega_pows = nt.pow_series_dev(omega_m, self.n)
 
     def _twiddles_native(self, k: int):
         return native_twiddles(k, self._ntp, self.omega_nat_u8)
