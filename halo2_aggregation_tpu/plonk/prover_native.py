@@ -58,15 +58,19 @@ def _use_device_quotient(k: int = 99) -> bool:
     """Route the per-coset quotient evaluation through the TPU
     (plonk/quotient_device.py: Pallas NTT engine, byte-exact vs the host
     C++ loop, 13.7x per warm coset at k=21).  Default: auto — on when a
-    real TPU backend is present AND the domain is prover-scale (k >= 15;
-    below that the upload + dispatch overheads beat the win and the host
-    C++ loop is faster).  H2A_DEVICE_QUOTIENT=1/0 forces."""
+    real TPU backend is present AND the domain is prover-scale
+    (15 <= k <= 21; below 15 the upload + dispatch overheads beat the
+    win, and ABOVE 21 the engine's resident set — u8 store + schedule
+    leaves + i32 extension buffers — exceeds the 16GB HBM: a k=22 run
+    hit RESOURCE_EXHAUSTED in the first coset, 2026-08-21 log.  Slab-
+    staged extension is the round-5 fix).  H2A_DEVICE_QUOTIENT=1/0
+    forces."""
     import os
 
     v = os.environ.get("H2A_DEVICE_QUOTIENT", "auto")
     if v in ("0", "1"):
         return v == "1"
-    if k < 15:
+    if k < 15 or k > 21:
         return False
     try:
         import jax
