@@ -296,9 +296,14 @@ def field_algebra_fused(vk, b, B: int):
     big = jnp.concatenate(
         [jnp.transpose(jnp.asarray(a)) for a in arrs], axis=0
     )  # (S*32, B)
-    tile = min(B, 512)
-    assert B % tile == 0
-    grid = (B // tile,)
+    # full 128-lane tiles: Mosaic mis-lays sub-128 lane vectors in the
+    # grouped-conv pads (offset-64 concat rejection, bench_r4_run1.log);
+    # zero lanes are inert through every field op (0^(p-2) = 0)
+    tile = 128
+    Bp = -(-B // tile) * tile
+    if Bp != B:
+        big = jnp.pad(big, [(0, 0), (0, Bp - B)])
+    grid = (Bp // tile,)
     S = len(schedule)
 
     consts_np, comp_p_np = _fr_fc_np()
@@ -323,8 +328,9 @@ def field_algebra_fused(vk, b, B: int):
         grid=grid,
         in_specs=[cs_spec() for _ in range(6)] + [in_spec],
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((3 * NL, B), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((3 * NL, Bp), jnp.int32),
     )(*consts, comp_p, big)
+    out = out[:, :B]
     h = jnp.transpose(out[:NL])
     xn = jnp.transpose(out[NL : 2 * NL])
     xs1 = jnp.transpose(out[2 * NL :])
