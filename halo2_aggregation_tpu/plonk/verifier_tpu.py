@@ -882,16 +882,24 @@ def aggregate_quads(quads, g1, s_g2, g2):
 
     lams = []
     lp = 1
-    rhss = []
-    for e, f, w, zw in quads:
-        rhss.append(oc.g1_add(oc.g1_add(zw, f), e))
+    for _ in quads:
         lams.append(lp)
         lp = lp * lam % R
     ws = [w for _, _, w, _ in quads]
     if native.available():
+        # RHS = sum_i lam^i (zw_i + f_i + e_i) folded as ONE 3B-point
+        # MSM — the per-proof rhs adds were ~40ms of host python at B=64
+        # (the pipeline's second-largest stage after the fused device
+        # step shrank, bench_r4_run.log)
         W = native.g1_msm(ws, lams)
-        RHS = native.g1_msm(rhss, lams)
+        RHS = native.g1_msm(
+            [q[3] for q in quads] + [q[1] for q in quads] + [q[0] for q in quads],
+            lams * 3,
+        )
     else:
+        rhss = [
+            oc.g1_add(oc.g1_add(zw, f), e) for e, f, w, zw in quads
+        ]
         W = None
         RHS = None
         for w, rhs, lp_i in zip(ws, rhss, lams):
