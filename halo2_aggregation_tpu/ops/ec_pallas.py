@@ -1084,4 +1084,11 @@ def scalar_mul_auto(points_jac, scalars, nbits=254):
     return JacPoint(unflat(out.x), unflat(out.y), unflat(out.z))
 
 
-PALLAS_TILE = 128
+#: lanes per ladder-kernel tile; H2A_PALLAS_TILE=256 widens the tile to
+#: amortize per-grid-step overheads (win table = 16 pts x 3 coords x
+#: (32, T) i32 = 1.5MB VMEM at T=256 — fits).  Each new tile value is a
+#: fresh (tile, nbits, grid) Mosaic compile: minutes via the relay,
+#: one-time in /tmp/h2a_jax_cache; don't thrash casually (CLAUDE.md).
+import os as _os
+
+PALLAS_TILE = int(_os.environ.get("H2A_PALLAS_TILE", "128"))
