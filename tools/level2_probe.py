@@ -82,9 +82,10 @@ def main():
     circ = ac.AggregationCircuit(vk_o, [proof] * n2, num_proofs=n2)
     pis2 = circ.public_inputs([inst_comm] * n2, [efw] * n2)
     assert len(pis2) == 40 * n2 + 16
-    # headroom k for synthesis; the smallest fitting k is reported below
+    # headroom k for synthesis (k=24 ~ the N=8 test's footprint, ~55GB);
+    # the smallest fitting k is reported below
     t0 = time.time()
-    cs2, cfg2, asg2, ctx2, (quads, W, RHS) = ac.build(circ, 25, pis2)
+    cs2, cfg2, asg2, ctx2, (quads, W, RHS) = ac.build(circ, 24, pis2)
     for q in quads:
         got = (q.e.value(), q.f.value(), q.w.value(), q.zw.value())
         assert got == efw, "level-2 in-circuit quad != native level-1 quad"
