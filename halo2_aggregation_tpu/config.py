@@ -45,7 +45,9 @@ class H2AConfig:
     device_nlimbs: int = 32
 
     # batching / parallelism
-    batch: int = _env_int("H2A_BENCH_BATCH", 64)  # proofs per device batch
+    # proofs per device batch: 128 amortizes the pipeline's fixed
+    # dispatch/transfer overheads (345 vs 158 proofs/s at 64 — round 4)
+    batch: int = _env_int("H2A_BENCH_BATCH", 128)
     mesh_dp: int = _env_int("H2A_MESH_DP", 4)  # data-parallel axis
     mesh_mp: int = _env_int("H2A_MESH_MP", 2)  # model(lane)-parallel axis
 
