@@ -193,6 +193,27 @@ def main():
     assert got == want, "Pallas ladder diverges from the oracle on real lanes"
     ladder_rate, _ = median_rate(ladder_once, n_lanes, trials=3)
 
+    # Wide-tile variant: the same lanes through a 256-lane kernel (the
+    # H2A_PALLAS_TILE=256 probe measured +11% — amortized per-grid-step
+    # overhead, docs/bench_r4_t256.log).  The PIPELINE keeps the default
+    # tile; the kernel roofline row reports the best tile, tile noted.
+    import halo2_aggregation_tpu.ops.ec_pallas as _ep
+
+    ladder_rates = {_ep.PALLAS_TILE: ladder_rate}
+    for probe_tile in (256,):
+        if probe_tile == _ep.PALLAS_TILE:
+            continue
+        _saved_tile = _ep.PALLAS_TILE
+        _ep.PALLAS_TILE = probe_tile
+        try:
+            ladder_once()  # warm (one-time Mosaic compile, then cached)
+            r, _ = median_rate(ladder_once, n_lanes, trials=3)
+            ladder_rates[probe_tile] = r
+        finally:
+            _ep.PALLAS_TILE = _saved_tile
+    ladder_tile = max(ladder_rates, key=ladder_rates.get)
+    ladder_rate = ladder_rates[ladder_tile]
+
     # --- device bucket MSM: Mpoint-adds/s/chip -----------------------------
     # 2^n_msm random points x 254-bit scalars through msm_mod.msm (which
     # dispatches to the Pallas bucket kernel on TPU).  Add counts are the
@@ -387,6 +408,10 @@ def main():
                     "batch": B,
                     "verify_algebra_proofs_per_s": round(tpu_rate, 3),
                     "pallas_scalar_muls_per_s": round(ladder_rate, 1),
+                    "pallas_kernel_tile": ladder_tile,
+                    "pallas_scalar_muls_per_s_by_tile": {
+                        str(t): round(r, 1) for t, r in ladder_rates.items()
+                    },
                     "multiopen_lanes": n_lanes,
                     "host_algebra_proofs_per_s": round(host_rate, 3),
                     "msm_mpoint_adds_per_s_per_chip": round(msm_rate / 1e6, 3),
