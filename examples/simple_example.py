@@ -59,7 +59,15 @@ def main():
     t_write = PoseidonWrite if cfs else Blake2bWrite
     t_read = PoseidonRead if cfs else Blake2bRead
     N = cfg.num_proofs
-    assert 1 <= N <= len(WITNESSES), f"num_proofs {N} not in [1, {len(WITNESSES)}]"
+    # H2A_WITNESS_OFFSET selects a different witness window, producing a
+    # DISTINCT set of inner proofs (and hence a distinct outer proof /
+    # transcript) — used to mint the second level-1 artifact the proven
+    # two-level recursion tree needs (VERDICT r4 item 2).
+    woff = int(os.environ.get("H2A_WITNESS_OFFSET", "0"))
+    assert 1 <= N and woff + N <= len(WITNESSES), (
+        f"num_proofs {N} + offset {woff} not within [1, {len(WITNESSES)}]"
+    )
+    witnesses = WITNESSES[woff : woff + N]
 
     # --- Phase A: N inner proofs (simple-example.rs:560-644) ---------------
     k = cfg.k_inner
@@ -67,7 +75,7 @@ def main():
     params = kzg.setup(k)
     proofs, comms, efws = [], [], []
     vk = None
-    for i, (a, b) in enumerate(WITNESSES[:N]):
+    for i, (a, b) in enumerate(witnesses):
         circuit = se.MyCircuit(constant=7, a=a, b=b)
         cs_e, _, asg_e = se.build(circuit.without_witnesses(), k=k)
         vk_i, pk_i = keygen(params, cs_e, asg_e)
@@ -180,7 +188,8 @@ def main():
             import pickle
 
             os.makedirs(adir, exist_ok=True)
-            stem = f"{adir}/outer_n{N}_k{outer_k}"
+            tag = os.environ.get("H2A_ARTIFACT_TAG", "")
+            stem = f"{adir}/outer_n{N}_k{outer_k}{tag}"
             with open(f"{stem}.proof", "wb") as f:
                 f.write(outer_proof)
             with open(f"{stem}.vk.pkl", "wb") as f:
@@ -191,6 +200,7 @@ def main():
                     {
                         "k": outer_k,
                         "num_proofs": N,
+                        "witness_offset": woff,
                         "constrained_fs": cfs,
                         "public_inputs": [str(v) for v in public_inputs],
                         "efw": [[str(c) for c in p] for p in efw_o],

@@ -72,10 +72,16 @@ class H2AConfig:
 
     @classmethod
     def from_env(cls, **overrides) -> "H2AConfig":
-        num_proofs = _env_int("H2A_NUM_PROOFS", cls.num_proofs)
+        # an overridden num_proofs must drive the derived k_outer too
+        # (ADVICE r4: computing k before merging overrides yielded an
+        # undersized default k for `from_env(num_proofs=...)` callers)
+        num_proofs = overrides.get(
+            "num_proofs", _env_int("H2A_NUM_PROOFS", cls.num_proofs)
+        )
         # Each proof costs ~1,300,406 rows (docs/AGGREGATION_SCALING.md),
         # so the default outer k grows by ceil(log2 N): N=1->21, 2->22,
-        # 4->23, 8->24.  An explicit H2A_OUTER_K always wins.
+        # 4->23, 8->24.  An explicit H2A_OUTER_K or k_outer override
+        # always wins.
         k_outer_default = cls.k_outer + (num_proofs - 1).bit_length()
         cfg = cls(
             k_inner=_env_int("H2A_INNER_K", cls.k_inner),

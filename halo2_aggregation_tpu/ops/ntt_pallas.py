@@ -137,27 +137,34 @@ def _local_kernel(nstages, canon,
     o_ref[:] = x.astype(jnp.uint8)
 
 
-def _gstage_kernel(hb, canon,
-                   p_ref, pinv_ref, twop_ref, comp2p_ref, one_ref, compp_ref,
-                   own_ref, part_ref, tw_ref, o_ref):
-    """One global butterfly stage, output-tile centric: each grid step
-    owns ONE output tile, fetches its pair partner via the block
-    schedule, and keeps the add (lo role) or sub (hi role) half.  The
-    pair's product is computed by both tiles of the pair — 2x muls, but
-    muls are ~10ms per 2^21 at VMEM speeds and the schedule stays a pure
-    function of the grid index (every output block written exactly
-    once)."""
+def _gstage_sp_kernel(s_ref,
+                      p_ref, pinv_ref, twop_ref, comp2p_ref, one_ref,
+                      compp_ref, own_ref, part_ref, tw_ref, o_ref):
+    """ONE global butterfly stage kernel for ALL stages, output-tile
+    centric: each grid step owns ONE output tile, fetches its pair
+    partner via the block schedule, and keeps the add (lo role) or sub
+    (hi role) half.  The pair's product is computed by both tiles of the
+    pair — 2x muls, but muls are ~10ms per 2^21 at VMEM speeds and the
+    schedule stays a pure function of the grid index (every output block
+    written exactly once).
+
+    The stage parameters arrive by SCALAR PREFETCH (s_ref = [hb,
+    tw_base_block, canon]) instead of as Python statics, and the stage
+    twiddle tables are lane-concatenated into one u8 array — so Mosaic
+    compiles this kernel ONCE per (C, n) instead of once per stage
+    (measured 1-3 min per stage compile through the axon relay; a k=23
+    transform has 16 global stages)."""
     g = pl.program_id(1)
+    hb = s_ref[0]
     fc = (p_ref[:], pinv_ref[:], twop_ref[:], comp2p_ref[:], one_ref[:])
     own = own_ref[:].astype(jnp.int32)
     part = part_ref[:].astype(jnp.int32)
     is_lo = g % (2 * hb) < hb  # scalar, traced
     lo = jnp.where(is_lo, own, part)
     hi = jnp.where(is_lo, part, own)
-    t = _mont_mul(fc, hi, tw_ref[:])
+    t = _mont_mul(fc, hi, tw_ref[:].astype(jnp.int32))
     r = jnp.where(is_lo, _add(fc, lo, t), _sub(fc, lo, t))
-    if canon:
-        r = _cond_sub(compp_ref[:], r)
+    r = jnp.where(s_ref[2] != 0, _cond_sub(compp_ref[:], r), r)
     o_ref[:] = r.astype(jnp.uint8)
 
 
@@ -182,19 +189,65 @@ def _cspec():
     )
 
 
+def _run_gstages(X, tw_cat, k: int, C: int, canon: bool, dif: bool):
+    """Run every global butterfly stage through the ONE scalar-prefetch
+    kernel (DIT ascending or DIF descending).  tw_cat is the u8
+    lane-concatenation of all global stage tables; stage s's table
+    starts at lane 2^s - 2^nloc."""
+    n = 1 << k
+    nloc = min(LOCAL_STAGES, k)
+    consts = _consts_dev()
+    kern = _gstage_dif_sp_kernel if dif else _gstage_sp_kernel
+    own = pl.BlockSpec(
+        (NLIMBS, TL), lambda c, g, s: (c, g), memory_space=pltpu.VMEM
+    )
+    part = pl.BlockSpec(
+        (NLIMBS, TL),
+        lambda c, g, s: (c, gstage_partner_block(g, s[0])),
+        memory_space=pltpu.VMEM,
+    )
+    tw = pl.BlockSpec(
+        (NLIMBS, TL),
+        lambda c, g, s: (0, s[1] + g % s[0]),
+        memory_space=pltpu.VMEM,
+    )
+    csp = lambda: pl.BlockSpec(
+        (NLIMBS, TL), lambda c, g, s: (0, 0), memory_space=pltpu.VMEM
+    )
+    stages = range(k - 1, nloc - 1, -1) if dif else range(nloc, k)
+    for s in stages:
+        hb = (1 << s) // TL
+        base_blk = ((1 << s) - (1 << nloc)) // TL
+        can = 1 if (canon and not dif and s == k - 1) else 0
+        sarr = jnp.asarray([hb, base_blk, can], jnp.int32)
+        X = pl.pallas_call(
+            kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(C, n // TL),
+                in_specs=[csp() for _ in range(6)] + [own, part, tw],
+                out_specs=own,
+            ),
+            out_shape=jax.ShapeDtypeStruct((C * NLIMBS, n), jnp.uint8),
+        )(sarr, *consts, X, X, tw_cat)
+    return X
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def ntt_batched_u8(X, tws, k: int, C: int, canon: bool = True):
     """Batched DIT NTT over a (C*32, n)-u8 stacked column array whose
     lanes hold coefficients in bit-reversed order; returns natural-order
     evaluations (canonical limbs when `canon`).
 
-    tws = (local_tws, g_tw_list): local_tws a (LOCAL*32, 128)-i32 array
-    of periodic early-stage twiddles; g_tw_list[i] a (32, 2^s)-i32 array
-    for global stage s = LOCAL_STAGES + i.  Build both with
-    `prep_twiddles`."""
+    tws = (local_tws, tw_cat): local_tws a (LOCAL*32, 128)-i32 array of
+    periodic early-stage twiddles; tw_cat a (32, n - 2^LOCAL)-u8
+    lane-concatenation of every global stage's table (stage s at lane
+    offset 2^s - 2^LOCAL).  Build both with `prep_twiddles` /
+    `native_twiddles` (u8 tables are 4x smaller resident than the
+    round-3 i32 per-stage arrays — 268MB vs 1.07GB at k=23)."""
     n = 1 << k
     assert k >= LOCAL_STAGES, "ntt_batched_u8 requires n >= 128 lanes"
-    local_tws, g_tws = tws
+    local_tws, tw_cat = tws
     nloc = min(LOCAL_STAGES, k)
     consts = _consts_dev()
 
@@ -212,29 +265,8 @@ def ntt_batched_u8(X, tws, k: int, C: int, canon: bool = True):
         out_shape=jax.ShapeDtypeStruct((C * NLIMBS, n), jnp.uint8),
     )(*consts, X, local_tws)
 
-    for i, s in enumerate(range(nloc, k)):
-        half = 1 << s
-        hb = half // TL
-        own = pl.BlockSpec(
-            (NLIMBS, TL), lambda c, g: (c, g), memory_space=pltpu.VMEM
-        )
-        part = pl.BlockSpec(
-            (NLIMBS, TL),
-            lambda c, g, hb=hb: (c, gstage_partner_block(g, hb)),
-            memory_space=pltpu.VMEM,
-        )
-        tw = pl.BlockSpec(
-            (NLIMBS, TL),
-            lambda c, g, hb=hb: (0, gstage_tw_block(g, hb)),
-            memory_space=pltpu.VMEM,
-        )
-        X = pl.pallas_call(
-            functools.partial(_gstage_kernel, hb, canon and s == k - 1),
-            grid=(C, n // TL),
-            in_specs=[_cspec() for _ in range(6)] + [own, part, tw],
-            out_specs=own,
-            out_shape=jax.ShapeDtypeStruct((C * NLIMBS, n), jnp.uint8),
-        )(*consts, X, X, g_tws[i])
+    if k > nloc:
+        X = _run_gstages(X, tw_cat, k, C, canon, dif=False)
     return X
 
 
@@ -286,12 +318,14 @@ def _local_dif_kernel(nstages, canon,
     o_ref[:] = x.astype(jnp.uint8)
 
 
-def _gstage_dif_kernel(hb, canon,
-                       p_ref, pinv_ref, twop_ref, comp2p_ref, one_ref,
-                       compp_ref, own_ref, part_ref, tw_ref, o_ref):
-    """DIF global butterfly stage (output-tile centric, same schedule as
-    _gstage_kernel)."""
+def _gstage_dif_sp_kernel(s_ref,
+                          p_ref, pinv_ref, twop_ref, comp2p_ref, one_ref,
+                          compp_ref, own_ref, part_ref, tw_ref, o_ref):
+    """DIF global butterfly stage (output-tile centric, same
+    scalar-prefetch schedule as _gstage_sp_kernel; one Mosaic compile
+    for all stages)."""
     g = pl.program_id(1)
+    hb = s_ref[0]
     fc = (p_ref[:], pinv_ref[:], twop_ref[:], comp2p_ref[:], one_ref[:])
     own = own_ref[:].astype(jnp.int32)
     part = part_ref[:].astype(jnp.int32)
@@ -301,10 +335,8 @@ def _gstage_dif_kernel(hb, canon,
     r = jnp.where(
         is_lo,
         _add(fc, lo, hi),
-        _mont_mul(fc, _sub(fc, lo, hi), tw_ref[:]),
+        _mont_mul(fc, _sub(fc, lo, hi), tw_ref[:].astype(jnp.int32)),
     )
-    if canon:
-        r = _cond_sub(compp_ref[:], r)
     o_ref[:] = r.astype(jnp.uint8)
 
 
@@ -315,37 +347,17 @@ def intt_batched_u8(X, tws, ninv_tile, k: int, C: int):
     the layout `ntt_batched_u8` consumes, so an INTT -> coset-NTT
     pipeline needs no permutation anywhere.
 
-    tws: prep_twiddles of an INVERSE-omega NttPlan; ninv_tile: n^{-1}
-    Montgomery (32, TL)-i32 tile (scalar_tile(FR.to_mont-int of 1/n))."""
+    tws: prep_twiddles/native_twiddles of an INVERSE-omega plan;
+    ninv_tile: n^{-1} Montgomery (32, TL)-i32 tile
+    (scalar_tile(mont-int of 1/n))."""
     n = 1 << k
     assert k >= LOCAL_STAGES
-    local_tws, g_tws = tws
+    local_tws, tw_cat = tws
     nloc = min(LOCAL_STAGES, k)
     consts = _consts_dev()
 
-    for i, s in enumerate(range(k - 1, nloc - 1, -1)):
-        half = 1 << s
-        hb = half // TL
-        own = pl.BlockSpec(
-            (NLIMBS, TL), lambda c, g: (c, g), memory_space=pltpu.VMEM
-        )
-        part = pl.BlockSpec(
-            (NLIMBS, TL),
-            lambda c, g, hb=hb: (c, gstage_partner_block(g, hb)),
-            memory_space=pltpu.VMEM,
-        )
-        tw = pl.BlockSpec(
-            (NLIMBS, TL),
-            lambda c, g, hb=hb: (0, gstage_tw_block(g, hb)),
-            memory_space=pltpu.VMEM,
-        )
-        X = pl.pallas_call(
-            functools.partial(_gstage_dif_kernel, hb, False),
-            grid=(C, n // TL),
-            in_specs=[_cspec() for _ in range(6)] + [own, part, tw],
-            out_specs=own,
-            out_shape=jax.ShapeDtypeStruct((C * NLIMBS, n), jnp.uint8),
-        )(*consts, X, X, g_tws[s - nloc])
+    if k > nloc:
+        X = _run_gstages(X, tw_cat, k, C, False, dif=True)
 
     xspec = pl.BlockSpec(
         (NLIMBS, TL), lambda c, g: (c, g), memory_space=pltpu.VMEM
@@ -424,6 +436,11 @@ def pow_series_bitrev_u8(base_int: int, k: int, bitrev: np.ndarray):
     return pow_series_u8(base_int, k, bitrev)
 
 
+def _empty_tw_cat():
+    """Placeholder global table for k <= LOCAL_STAGES (never read)."""
+    return jnp.zeros((NLIMBS, TL), jnp.uint8)
+
+
 def prep_twiddles_dev(omega_nat_u8, k: int):
     """Device-built twiddle tables from the natural-order omega power
     series: stage s of a size-2^k DIT NTT uses w_m^j = omega^{(n/m) j}
@@ -439,11 +456,16 @@ def prep_twiddles_dev(omega_nat_u8, k: int):
         t = omega_nat_u8[:, :: n // m][:, : 1 << s].astype(jnp.int32)
         loc.append(jnp.tile(t, (1, TL // (1 << s))))
     local_tws = jnp.concatenate(loc, axis=0)
-    g_tws = [
-        omega_nat_u8[:, :: n // (1 << (s + 1))][:, : 1 << s].astype(jnp.int32)
-        for s in range(nloc, k)
-    ]
-    return local_tws, g_tws
+    if k <= nloc:
+        return local_tws, _empty_tw_cat()
+    tw_cat = jnp.concatenate(
+        [
+            omega_nat_u8[:, :: n // (1 << (s + 1))][:, : 1 << s]
+            for s in range(nloc, k)
+        ],
+        axis=1,
+    )
+    return local_tws, tw_cat
 
 
 # -- twiddle / permutation prep ----------------------------------------------
@@ -451,7 +473,8 @@ def prep_twiddles_dev(omega_nat_u8, k: int):
 
 def prep_twiddles(plan):
     """From an ops/ntt.NttPlan (host-computed tables), build the device
-    twiddle structures for ntt_batched_u8."""
+    twiddle structures for ntt_batched_u8: (local_tws i32, tw_cat u8
+    lane-concatenation of the global stage tables)."""
     k = plan.k
     nloc = min(LOCAL_STAGES, k)
     loc = []
@@ -460,11 +483,18 @@ def prep_twiddles(plan):
         reps = TL // t.shape[0]
         loc.append(np.tile(t.T, (1, reps)))  # (32, TL) periodic
     local_tws = jnp.asarray(np.concatenate(loc, axis=0))
-    g_tws = [
-        jnp.asarray(np.asarray(plan.stage_twiddles[s], np.int32).T)
-        for s in range(nloc, k)
-    ]
-    return local_tws, g_tws
+    if k <= nloc:
+        return local_tws, _empty_tw_cat()
+    tw_cat = jnp.asarray(
+        np.concatenate(
+            [
+                np.asarray(plan.stage_twiddles[s], np.uint8).T
+                for s in range(nloc, k)
+            ],
+            axis=1,
+        )
+    )
+    return local_tws, tw_cat
 
 
 def pack_columns_bitrev(cols_u64, bitrev):

@@ -57,20 +57,20 @@ from .prover import _permute_lookup, _rand_fr
 def _use_device_quotient(k: int = 99) -> bool:
     """Route the per-coset quotient evaluation through the TPU
     (plonk/quotient_device.py: Pallas NTT engine, byte-exact vs the host
-    C++ loop, 13.7x per warm coset at k=21).  Default: auto — on when a
-    real TPU backend is present AND the domain is prover-scale
-    (15 <= k <= 21; below 15 the upload + dispatch overheads beat the
-    win, and ABOVE 21 the engine's resident set — u8 store + schedule
-    leaves + i32 extension buffers — exceeds the 16GB HBM: a k=22 run
-    hit RESOURCE_EXHAUSTED in the first coset, 2026-08-21 log.  Slab-
-    staged extension is the round-5 fix).  H2A_DEVICE_QUOTIENT=1/0
-    forces."""
+    C++ loop).  Default: auto — on when a real TPU backend is present
+    AND the domain is prover-scale (15 <= k <= 23; below 15 the upload +
+    dispatch overheads beat the win, and above 23 the one resident
+    column stack alone — C*32*2^k bytes, ~20GB at k=24 for the
+    aggregation circuit's 39 columns — exceeds the 16GB HBM.  The
+    round-5 group-wise round-trip layout lifted the previous k<=21 cap:
+    the round-4 single-stack engine OOM'd at k=22,
+    docs/PHASE_D_n2_k22_oom.log).  H2A_DEVICE_QUOTIENT=1/0 forces."""
     import os
 
     v = os.environ.get("H2A_DEVICE_QUOTIENT", "auto")
     if v in ("0", "1"):
         return v == "1"
-    if k < 15 or k > 21:
+    if k < 15 or k > 23:
         return False
     try:
         import jax
@@ -290,9 +290,15 @@ def create_proof_native(
         dq = DeviceQuotient(cs, k)
 
     def coeffs_of(plain_col, key=None) -> np.ndarray:
+        nonlocal dq
         c = dom.intt(to_mont(plain_col))
         if dq is not None and key is not None:
-            dq.feed(key, c)
+            try:
+                dq.feed(key, c)
+            except Exception as e:  # device trouble -> host coset loop
+                log(f"device feed failed ({type(e).__name__}: {e}); "
+                    "falling back to the host quotient")
+                dq = None
         return c
 
     adv_coeffs = [
@@ -332,14 +338,26 @@ def create_proof_native(
 
     h_ext_m = np.empty((ext_n, 4), np.uint64)
     if dq is not None:
-        dq.finalize()
-        log("quotient columns uploaded to device")
+        try:
+            dq.finalize()
+            log("quotient columns uploaded to device")
+        except Exception as e:
+            log(f"device finalize failed ({type(e).__name__}: {e}); "
+                "falling back to the host quotient")
+            dq = None
     for cj in range(step):
         shift = g * pow(omega_ext, cj, R) % R
         if dq is not None:
-            h_ext_m[cj::step] = dq.run_coset(shift, theta, beta, gamma, y)
-            log(f"quotient coset {cj + 1}/{step} (device)")
-            continue
+            try:
+                h_ext_m[cj::step] = dq.run_coset(shift, theta, beta, gamma, y)
+                log(f"quotient coset {cj + 1}/{step} (device)")
+                continue
+            except Exception as e:
+                # byte-exactness is indifferent to WHERE a coset runs:
+                # recompute this one (and the rest) on the host
+                log(f"device coset failed ({type(e).__name__}: {e}); "
+                    "falling back to the host quotient")
+                dq = None
 
         def ext(coeffs_m):
             return dom.coset_evals(coeffs_m, shift)

@@ -58,13 +58,18 @@ from .protocol import (
 )
 
 
-def native_twiddles(k: int, ntp=None, omega_nat_u8=None):
-    """DIT twiddle tables for `ntt_pallas.ntt_batched_u8` at size 2^k,
-    built by the native C++ pow_series (milliseconds for the ~2^k total
-    entries) + one small H2D — the on-device strided u8 slices of
-    prep_twiddles_dev measured 72s at k=21, and the host NttPlan Python
-    loop ~90s.  Falls back to prep_twiddles_dev when the native engine
-    is unavailable (then `omega_nat_u8` must be given)."""
+def native_twiddles(k: int, ntp=None, omega_nat_u8=None, omega_int=None):
+    """DIT/DIF twiddle tables for `ntt_pallas.ntt_batched_u8` /
+    `intt_batched_u8` at size 2^k, built by the native C++ pow_series
+    (milliseconds for the ~2^k total entries) + one small H2D — the
+    on-device strided u8 slices of prep_twiddles_dev measured 72s at
+    k=21, and the host NttPlan Python loop ~90s.  `omega_int` overrides
+    the root (pass omega^{-1} for the inverse-transform tables).  The
+    global tables ship and STAY u8 ((32, n - 128) lane-concatenated,
+    268MB at k=23 vs 1.07GB as the round-3 per-stage i32 arrays).
+    Falls back to prep_twiddles_dev when the native engine is
+    unavailable (then `omega_nat_u8` must be given and must be the
+    series of the same root)."""
     import jax.numpy as jnp
 
     from ..utils import native
@@ -82,7 +87,7 @@ def native_twiddles(k: int, ntp=None, omega_nat_u8=None):
     from . import engine
 
     n = 1 << k
-    omega = fr_omega(k)
+    omega = fr_omega(k) if omega_int is None else omega_int % R
     nloc = min(ntp.LOCAL_STAGES, k)
     loc, glo = [], []
     for s in range(k):
@@ -98,9 +103,12 @@ def native_twiddles(k: int, ntp=None, omega_nat_u8=None):
         if s < nloc:
             loc.append(np.tile(t8, (1, ntp.TL // (1 << s))).astype(np.int32))
         else:
-            # ship u8 (4x less over the tunnel), widen on device
-            glo.append(jnp.asarray(np.ascontiguousarray(t8)).astype(jnp.int32))
-    return jnp.asarray(np.concatenate(loc, axis=0)), glo
+            glo.append(np.ascontiguousarray(t8))
+    local_tws = jnp.asarray(np.concatenate(loc, axis=0))
+    if not glo:
+        return local_tws, ntp._empty_tw_cat()
+    # one u8 H2D for all global stages (stage s at lane 2^s - 2^nloc)
+    return local_tws, jnp.asarray(np.concatenate(glo, axis=1))
 
 MONT_R = 1 << 256
 
@@ -193,6 +201,11 @@ class DeviceQuotient:
             self.twiddles = None
             self.bitrev_np = nt._bit_reverse_indices(k)
             self._parts = {}  # key -> device (32, n) u8 part (async H2D)
+            # columns per group stack: every NTT kernel compiles once per
+            # (CG, n), and the round-trip transform's transient working
+            # set is ~2 group buffers (CG*32*n bytes each) on top of the
+            # one resident stack — CG=4 keeps that at ~2GB at k=23.
+            self.CG = int(os.environ.get("H2A_DQ_GROUP", "4"))
         else:
             # host-computed tables (NttPlan's twiddle loop is ~2^k Python
             # pows — only paid on the CPU/XLA path)
@@ -200,10 +213,6 @@ class DeviceQuotient:
             self.bitrev = jnp.asarray(plan.bitrev)
             self.twiddles = tuple(jnp.asarray(t) for t in plan.stage_twiddles)
             self.store = {}
-        if columns is not None:
-            for key, col in columns.items():
-                self.feed(key, col)
-            self.finalize()
 
         # leaf schedule: stable, deduped (key, rot) order
         sched: list = []
@@ -237,6 +246,19 @@ class DeviceQuotient:
         add(("llast", 0), 0)
         add(("lblind", 0), 0)
         self.schedule = sched
+        # distinct columns in schedule order — the canonical upload /
+        # group-stack order (feed() may arrive in any order)
+        self.key_order = []
+        seen_k = set()
+        for key, _ in sched:
+            if key not in seen_k:
+                seen_k.add(key)
+                self.key_order.append(key)
+
+        if columns is not None:
+            for key, col in columns.items():
+                self.feed(key, col)
+            self.finalize()
 
         # The coset extension runs as a Python-driven pipeline of SMALL
         # jitted pieces (pre: unpack+shift-mul+bit-reverse; 3 NTT stages
@@ -274,12 +296,20 @@ class DeviceQuotient:
             self.store[key] = jnp.asarray(_pack_host(col_u64))
 
     def finalize(self):
-        """Assemble the engine stack + device tables once every column
-        has been fed.  The (C*32, n) stack is a device-side concat of
-        the per-column parts — a buffer copy along the sublane-major
-        axis, not a (pathological) u8 relayout; parts are dropped right
-        after, so peak HBM is ~2x the stack (fits k<=22 easily, ~13.4GB
-        at k=23)."""
+        """Assemble the per-GROUP engine stacks + device tables once
+        every column has been fed.
+
+        Memory plan (the round-4 single-stack design OOM'd 16GB HBM at
+        k>=22, docs/PHASE_D_n2_k22_oom.log): columns live as
+        ceil(C/CG) separate (CG*32, n)-u8 group stacks.  Each group is
+        concatenated from its freshly-uploaded parts and the parts are
+        freed BEFORE the next group assembles, so peak here is the
+        resident set + ONE group (not 2x the full stack).  The same
+        stacks are then transformed IN PLACE (coefficients <-> coset
+        evaluations, `run_coset`) group by group, keeping the whole
+        prove at ~S + 2 group buffers — ~12GB at k=23 for the
+        aggregation circuit's 39 columns vs ~34GB for the round-4
+        layout."""
         import jax.numpy as jnp
 
         assert not self._finalized, "finalize() twice"
@@ -287,18 +317,39 @@ class DeviceQuotient:
         tlog = self._tlog
         if self.use_pallas:
             ntp = self._ntp
-            self.keys = list(self._parts.keys())
-            self.key_idx = {key: i for i, key in enumerate(self.keys)}
+            self.keys = list(self.key_order)
+            missing = set(self.keys) - set(self._parts)
+            assert not missing, f"finalize before feed of {sorted(missing)}"
             self.C = len(self.keys)
+            CG = self.CG
+            ngroups = (self.C + CG - 1) // CG
+            pad = ngroups * CG - self.C
             tlog("host pack + async H2D")
-            self.store_stack = jnp.concatenate(
-                [self._parts[key] for key in self.keys], axis=0
-            )
-            np.asarray(self.store_stack[:1, :1])  # force assembly
+            self._locate = {}
+            self._groups = []
+            for gi in range(ngroups):
+                gkeys = self.keys[gi * CG : (gi + 1) * CG]
+                parts = [self._parts.pop(key) for key in gkeys]
+                if gi == ngroups - 1 and pad:
+                    # zero-pad the tail group to CG columns: one NTT
+                    # kernel shape for every group (zeros are inert
+                    # through the whole pipeline and never read back)
+                    parts.append(
+                        jnp.zeros((pad * fo.NLIMBS, self.n), jnp.uint8)
+                    )
+                arr = (
+                    jnp.concatenate(parts, axis=0)
+                    if len(parts) > 1
+                    else parts[0]
+                )
+                np.asarray(arr[:1, :1])  # force before freeing the parts
+                del parts
+                for bi, key in enumerate(gkeys):
+                    self._locate[key] = (gi, bi)
+                self._groups.append(arr)
             self._parts = None
-            tlog("device stack")
-            # natural-order omega powers (u8, device) feed both the
-            # twiddle tables (strided slices) and the per-coset
+            tlog(f"group stacks ({ngroups} x {CG} cols)")
+            # natural-order omega powers (u8, device) feed the per-coset
             # evaluation points — no host twiddle loop, no XLA ladder
             self.omega_nat_u8 = ntp.pow_series_u8(
                 fr_omega(self.k), self.k, np.arange(self.n, dtype=np.int64)
@@ -306,9 +357,39 @@ class DeviceQuotient:
             np.asarray(self.omega_nat_u8[:1, :1])
             tlog("omega ladder")
             self.tws = self._twiddles_native(self.k)
+            self.tws_inv = native_twiddles(
+                self.k, ntp, None, omega_int=pow(fr_omega(self.k), -1, R)
+            )
+            self._ninv_tile = ntp.scalar_tile(
+                pow(1 << self.k, -1, R) * MONT_R % R
+            )
             np.asarray(self.tws[0][:1, :1])
-            tlog("twiddles")
-            self._shift_pows_cache = {}
+            tlog("twiddles (fwd + inv)")
+            # round-trip state: the group stacks start as bit-reversed
+            # COEFFICIENT columns; after each run_coset they hold that
+            # coset's EVALUATIONS (shift factor recorded), which the next
+            # run_coset round-trips back through the device INTT instead
+            # of keeping a second full-width stack resident
+            self._domain = "coeff"
+            self._cur_shift = 1
+
+            import jax
+
+            k_, CG_ = self.k, CG
+
+            def first_step(Xg, sp, tws):
+                return ntp.ntt_batched_u8(
+                    ntp.ew_mul_u8(Xg, sp, CG_, False), tws, k_, CG_, False
+                )
+
+            def round_step(Xg, sp, tws_f, tws_i, ninv):
+                c = ntp.intt_batched_u8(Xg, tws_i, ninv, k_, CG_)
+                return ntp.ntt_batched_u8(
+                    ntp.ew_mul_u8(c, sp, CG_, False), tws_f, k_, CG_, False
+                )
+
+            self._first_fn = jax.jit(first_step, donate_argnums=(0,))
+            self._round_fn = jax.jit(round_step, donate_argnums=(0,))
             self._tile_fn = None  # built lazily (jitted fused kernel)
         else:
             self.keys = list(self.store.keys())
@@ -442,7 +523,15 @@ class DeviceQuotient:
         conv temps (~60s/coset at k=21); in-VMEM the pass is
         compute-bound at ~100M muls/s (~1-2s/coset).  protocol.py's
         formulas are reused verbatim over a fifth ScalarOps backend built
-        on the ec_pallas limb primitives."""
+        on the ec_pallas limb primitives.
+
+        Leaf access: the kernel reads the GROUP STACKS directly — each
+        schedule entry (column, rotation) becomes a BlockSpec whose index
+        map picks the column's sublane band and lane tile, and a rotated
+        leaf fetches its neighbour tile too and reconstructs the shifted
+        window with two in-kernel lane rolls.  The round-4 design
+        materialized every rolled leaf as its own (32, n) array first:
+        12.5GB of copies at k=23 that this layout never allocates."""
         import jax
         import jax.numpy as jnp
         from jax.experimental import pallas as pl
@@ -460,6 +549,13 @@ class DeviceQuotient:
         NL = fo.NLIMBS
         TLn = ntp.TL
         n = self.n
+        G = n // TLn  # lane-tile count == expression grid size
+        # (group, band, rot) per schedule entry, in kernel-operand order
+        entries = [
+            (*self._locate[key], rot) for key, rot in schedule
+        ]
+        for _, _, rot in entries:
+            assert abs(rot) < TLn, f"rotation {rot} exceeds one lane tile"
 
         from jax import lax
 
@@ -500,17 +596,43 @@ class DeviceQuotient:
         def kernel(*refs):
             fc = tuple(r[:] for r in refs[:5])
             compp = refs[5][:]
-            leaf_arrays = [refs[6 + i][:].astype(jnp.int32) for i in range(nl)]
-            cx = refs[6 + nl][:].astype(jnp.int32)
-            th = refs[7 + nl][:]
-            be = refs[8 + nl][:]
-            ga = refs[9 + nl][:]
-            yv = refs[10 + nl][:]
-            vi = refs[11 + nl][:]
-            out_ref = refs[12 + nl]
+            lane = lax.broadcasted_iota(jnp.int32, (NL, TLn), 1)
+            vals = {}
+            ri = 6
+            for (key, rot), (gi, bi, _) in zip(schedule, entries):
+                t0 = refs[ri][:].astype(jnp.int32)
+                ri += 1
+                if rot > 0:
+                    # window [gT+rot, gT+rot+TL): tail of tile g, head of
+                    # tile g+1 — two rolls + a lane select
+                    t1 = refs[ri][:].astype(jnp.int32)
+                    ri += 1
+                    v = jnp.where(
+                        lane < TLn - rot,
+                        jnp.roll(t0, -rot, axis=1),
+                        jnp.roll(t1, -rot, axis=1),
+                    )
+                elif rot < 0:
+                    r = -rot
+                    t1 = refs[ri][:].astype(jnp.int32)  # tile g-1
+                    ri += 1
+                    v = jnp.where(
+                        lane >= r,
+                        jnp.roll(t0, r, axis=1),
+                        jnp.roll(t1, r, axis=1),
+                    )
+                else:
+                    v = t0
+                vals[(key, rot)] = v
+            cx = refs[ri][:].astype(jnp.int32)
+            th = refs[ri + 1][:]
+            be = refs[ri + 2][:]
+            ga = refs[ri + 3][:]
+            yv = refs[ri + 4][:]
+            vi = refs[ri + 5][:]
+            out_ref = refs[ri + 6]
 
             ops = TileOps(fc)
-            vals = dict(zip(schedule, leaf_arrays))
 
             def leaf(kind, idx, rot=0):
                 return vals[((kind, idx), rot)]
@@ -574,19 +696,38 @@ class DeviceQuotient:
             (NL, TLn), lambda g: (0, 0), memory_space=pltpu.VMEM
         )
 
-        def run(leaves, cx_u8, th_t, be_t, ga_t, y_t, vi_t):
+        def band_spec(bi, dg=0):
+            # column band bi of a (CG*32, n) group stack, lane tile
+            # g+dg (mod G) — rotated leaves fetch the wraparound
+            # neighbour tile through the block schedule, zero copies
+            if dg == 0:
+                imap = lambda g, bi=bi: (bi, g)
+            elif dg > 0:
+                imap = lambda g, bi=bi: (bi, (g + dg) % G)
+            else:
+                imap = lambda g, bi=bi: (bi, (g + G + dg) % G)
+            return pl.BlockSpec((NL, TLn), imap, memory_space=pltpu.VMEM)
+
+        def run(groups, cx_u8, th_t, be_t, ga_t, y_t, vi_t):
+            in_specs = [cspec() for _ in range(6)]
+            args = list(ntp._consts_dev())
+            for gi, bi, rot in entries:
+                in_specs.append(band_spec(bi))
+                args.append(groups[gi])
+                if rot:
+                    in_specs.append(band_spec(bi, 1 if rot > 0 else -1))
+                    args.append(groups[gi])
+            in_specs.append(lspec())
+            args.append(cx_u8)
+            in_specs += [cspec() for _ in range(5)]
+            args += [th_t, be_t, ga_t, y_t, vi_t]
             return pl.pallas_call(
                 kernel,
-                grid=(n // TLn,),
-                in_specs=[cspec() for _ in range(6)]
-                + [lspec() for _ in range(nl + 1)]
-                + [cspec() for _ in range(5)],
+                grid=(G,),
+                in_specs=in_specs,
                 out_specs=lspec(),
                 out_shape=jax.ShapeDtypeStruct((NL, n), jnp.uint8),
-            )(
-                *ntp._consts_dev(), *leaves, cx_u8,
-                th_t, be_t, ga_t, y_t, vi_t,
-            )
+            )(*args)
 
         return jax.jit(run)
 
@@ -619,34 +760,35 @@ class DeviceQuotient:
 
         if self.use_pallas:
             ntp = self._ntp
-            sp = self._shift_pows_cache.get(shift)
-            if sp is None:
-                sp = force(
-                    ntp.pow_series_bitrev_u8(shift, self.k, self.bitrev_np)
+            # Move the group stacks to this coset's evaluations.  First
+            # coset: coefficients * shift^i -> NTT.  Later cosets: the
+            # stacks hold the PREVIOUS coset's evaluations, so round-trip
+            # each group through the device INTT, scale by the shift
+            # RATIO's power series, and NTT forward again — one stack
+            # stays resident instead of coefficients + extension (the
+            # k>=22 OOM of the round-4 layout).  All values exact mod p
+            # throughout, so h stays byte-identical to the host loop.
+            if self._domain == "coeff":
+                ratio = shift % R
+                step_fn = lambda Xg, sp: self._first_fn(Xg, sp, self.tws)
+            else:
+                ratio = shift * pow(self._cur_shift, -1, R) % R
+                step_fn = lambda Xg, sp: self._round_fn(
+                    Xg, sp, self.tws, self.tws_inv, self._ninv_tile
                 )
-                self._shift_pows_cache[shift] = sp
-            # no reference kept to the shifted intermediate: at k=21 it is
-            # another 1.5GB of HBM the expression pass would live with
-            ext_stack = force(
-                ntp.ntt_batched_u8(
-                    ntp.ew_mul_u8(self.store_stack, sp, self.C, False),
-                    self.tws,
-                    self.k,
-                    self.C,
-                    True,
-                )
-            )
-            NL = fo.NLIMBS
+            sp = force(ntp.pow_series_bitrev_u8(ratio, self.k, self.bitrev_np))
+            for gi in range(len(self._groups)):
+                Xg = self._groups[gi]
+                self._groups[gi] = None  # donated: old buffer is dead
+                # force each group before the next: the axon backend
+                # defers work until a D2H, and an unbounded deferred
+                # graph keeps every group's transient buffers live
+                self._groups[gi] = force(step_fn(Xg, sp))
+            del sp
+            self._domain = "eval"
+            self._cur_shift = shift
 
-            def band(key):
-                i = self.key_idx[key]
-                return ext_stack[i * NL : (i + 1) * NL]
-
-            leaves_full = tuple(
-                jnp.roll(band(key), -rot, axis=1) if rot else band(key)
-                for key, rot in self.schedule
-            )
-            mont = lambda v: v * (1 << 256) % R
+            mont = lambda v: v * MONT_R % R
             cx_u8 = ntp.ew_mul_scalar_u8(
                 self.omega_nat_u8, ntp.scalar_tile(mont(shift)), 1, False
             )
@@ -654,7 +796,7 @@ class DeviceQuotient:
                 self._tile_fn = self._build_tile_fn()
             out = np.asarray(
                 self._tile_fn(
-                    leaves_full,
+                    self._groups,
                     cx_u8,
                     ntp.scalar_tile(mont(theta)),
                     ntp.scalar_tile(mont(beta)),

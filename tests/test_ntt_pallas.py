@@ -47,10 +47,15 @@ def _simulate_schedule(coeffs, k):
     # host upload: bitrev-permuted coefficients (mont residues as ints)
     x = [coeffs[plan.bitrev[j]] for j in range(n)]
 
-    # twiddles exactly as prep_twiddles lays them out
-    local_tws, g_tws = ntp.prep_twiddles(plan)
+    # twiddles exactly as prep_twiddles lays them out (global tables
+    # lane-concatenated u8, stage s at offset 2^s - 2^nloc)
+    local_tws, tw_cat = ntp.prep_twiddles(plan)
     local_tws = np.asarray(local_tws)
-    g_tws = [np.asarray(g) for g in g_tws]
+    tw_cat = np.asarray(tw_cat)
+    g_tws = [
+        tw_cat[:, (1 << s) - (1 << nloc) : (1 << (s + 1)) - (1 << nloc)]
+        for s in range(nloc, k)
+    ]
 
     mm = lambda a, b: a * b * RINV % R
 
@@ -143,9 +148,13 @@ def _simulate_dif(evals, k):
     plan_inv = nt.NttPlan(k, pow(fr_omega(k), -1, R))
     nloc = min(ntp.LOCAL_STAGES, k)
     TL = ntp.TL
-    local_tws, g_tws = ntp.prep_twiddles(plan_inv)
+    local_tws, tw_cat = ntp.prep_twiddles(plan_inv)
     local_tws = np.asarray(local_tws)
-    g_tws = [np.asarray(g) for g in g_tws]
+    tw_cat = np.asarray(tw_cat)
+    g_tws = [
+        tw_cat[:, (1 << s) - (1 << nloc) : (1 << (s + 1)) - (1 << nloc)]
+        for s in range(nloc, k)
+    ]
     mm = lambda a, b: a * b * RINV % R
     x = list(evals)
 
