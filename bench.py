@@ -194,9 +194,11 @@ def main():
     ladder_rate, _ = median_rate(ladder_once, n_lanes, trials=3)
 
     # Wide-tile variant: the same lanes through a 256-lane kernel (the
-    # H2A_PALLAS_TILE=256 probe measured +11% — amortized per-grid-step
-    # overhead, docs/bench_r4_t256.log).  The PIPELINE keeps the default
-    # tile; the kernel roofline row reports the best tile, tile noted.
+    # H2A_PALLAS_TILE=256 probe measured +11% in one run — amortized
+    # per-grid-step overhead, docs/bench_r4_t256.log).  The HEADLINE
+    # rate is the PRODUCTION tile's (what the pipeline actually runs:
+    # max-of-noisy-medians across tiles inflated it under the ~2x tunnel
+    # variance, ADVICE r4); the probe tiles stay as auxiliary fields.
     import halo2_aggregation_tpu.ops.ec_pallas as _ep
 
     ladder_rates = {_ep.PALLAS_TILE: ladder_rate}
@@ -211,8 +213,7 @@ def main():
             ladder_rates[probe_tile] = r
         finally:
             _ep.PALLAS_TILE = _saved_tile
-    ladder_tile = max(ladder_rates, key=ladder_rates.get)
-    ladder_rate = ladder_rates[ladder_tile]
+    ladder_tile = _ep.PALLAS_TILE
 
     # --- device bucket MSM: Mpoint-adds/s/chip -----------------------------
     # 2^n_msm random points x 254-bit scalars through msm_mod.msm (which

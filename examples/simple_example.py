@@ -185,15 +185,15 @@ def main():
         adir = os.environ.get("H2A_ARTIFACTS_DIR", "")
         if adir:
             import json
-            import pickle
+
+            from halo2_aggregation_tpu.utils.artifacts import save_vk_npz
 
             os.makedirs(adir, exist_ok=True)
             tag = os.environ.get("H2A_ARTIFACT_TAG", "")
             stem = f"{adir}/outer_n{N}_k{outer_k}{tag}"
             with open(f"{stem}.proof", "wb") as f:
                 f.write(outer_proof)
-            with open(f"{stem}.vk.pkl", "wb") as f:
-                pickle.dump(vk_o, f)
+            save_vk_npz(f"{stem}.vk.npz", vk_o)
             inst_comm_o = params_o.commit_lagrange(public_inputs)
             with open(f"{stem}.meta.json", "w") as f:
                 json.dump(

@@ -90,7 +90,7 @@ def _carry(x, n_out, rounds=1):
     built-in round then yields s in [0, 256], which the lookahead
     resolves exactly (g = s>>8 in {0,1}, p = s==255).  Call-site bounds
     (derived in ROADMAP 'relaxed-domain mont-mul'):
-      * rounds=1 covers cols <= ~128K (r1: 255 + C>>8 <= 511 iff
+      * rounds=1 covers cols <= 65.5K (r1: 255 + C>>8 <= 511 iff
         C <= 65.5K; the actual users are _add/_sub/_cond_sub at
         C <= 770);
       * rounds=2 covers cols <= ~16.7M (mont's t+u at <= 4.6M).

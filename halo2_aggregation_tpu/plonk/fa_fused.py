@@ -289,8 +289,10 @@ def field_algebra_fused(vk, b, B: int):
     """Drop-in replacement for verifier_tpu.field_algebra on TPU: ONE
     pallas_call instead of ~50K tiny XLA ops.  Returns (h_eval, xn,
     xn_sub_one) as (B, 32) canonical mont arrays, bit-identical to the
-    XLA path.  B must be a multiple of 8 (sublane alignment); the lane
-    tile is min(B, 512)."""
+    XLA path.  Any B works: proofs ride the LANE axis in fixed 128-lane
+    tiles (Mosaic rejects sub-128-lane tiles on the grouped-conv pad
+    pattern, docs/bench_r4_run1.log), so B < 128 is zero-padded —
+    zero lanes are inert through the field ops (0^(p-2) = 0)."""
     schedule = fa_schedule(vk)
     arrs = fa_gather(vk, b)
     big = jnp.concatenate(
