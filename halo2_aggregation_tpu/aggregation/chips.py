@@ -9,11 +9,15 @@ reference spreads across `src/lookup.rs`, `src/permutation.rs`,
 `src/vanishing.rs`.
 
 Fidelity notes (matching reference behavior, including its §2c gaps):
-* TranscriptChip squeezes challenges by running the native Blake2b
-  transcript host-side and assigning the result as an advice witness —
-  UNCONSTRAINED, exactly like `/root/reference/src/transcript.rs:62-85`
-  (their "USE THIS CHIP WITH CAUTION" note applies here too; constraining
-  the transcript is tracked future work on both sides).
+* Two transcript modes.  The DEFAULT is `PoseidonTranscriptChip`:
+  challenges are derived by the in-circuit Poseidon sponge gadget, so
+  Fiat-Shamir is CONSTRAINED end to end — our upgrade over the
+  reference, which cannot do this at all.  `constrained_fs=False`
+  selects reference-parity `TranscriptChip`: challenges computed by the
+  native Blake2b transcript host-side and assigned as UNCONSTRAINED
+  advice witnesses, exactly like
+  `/root/reference/src/transcript.rs:62-85` (their "USE THIS CHIP WITH
+  CAUTION" note applies to that mode only).
 * fixed/sigma commitments are loaded as circuit constants (fixing the
   reference's "TODO: alloc point from constant", verifier.rs:323, :332).
 * the final verdict mirrors verifier.rs:756-761.
