@@ -397,6 +397,15 @@ def main():
     msm_mont_rate = msm_rate * msm_muls_per_add
     msm_roofline_frac = msm_mont_rate / sol_rate
     ntt_roofline_frac = ntt_mul_rate / sol_rate
+    # The butterfly kernels EXECUTE 2x the algorithmic n/2 muls per
+    # stage: every lane computes its pair's product (SIMD butterflies —
+    # both the masked-roll local stages and the output-tile-centric
+    # global schedule).  ntt_kernel_roofline_frac above charges the
+    # ALGORITHMIC count (the honest end-to-end number); the executed
+    # fraction below is the kernel-efficiency number comparable to the
+    # EC ladder/MSM rows.  Halving the gap for real needs a pair-packed
+    # (constant-geometry) layout — ROADMAP round-5 notes.
+    ntt_exec_roofline_frac = 2 * ntt_mul_rate / sol_rate
 
     print(
         json.dumps(
@@ -431,6 +440,9 @@ def main():
                     "ntt_wall_s_per_transform": round(ntt_t / ntt_chain, 4),
                     "ntt_mont_mul_per_s": round(ntt_mul_rate, 1),
                     "ntt_kernel_roofline_frac": round(ntt_roofline_frac, 4),
+                    "ntt_executed_roofline_frac": round(
+                        ntt_exec_roofline_frac, 4
+                    ),
                     "agg_trials_proofs_per_s": agg_spread,
                     "stages": stage,
                     "device": str(jax.devices()[0]),

@@ -51,9 +51,10 @@ from jax.experimental.pallas import tpu as pltpu
 from ..fields import NLIMBS, R
 from .ec_pallas import (
     _add,
+    _carry,
     _cond_sub,
     _ints_to_cols,
-    _mont_mul,
+    _mont_mul_r,
     _sub,
     _sub_const_cols,
 )
@@ -118,7 +119,13 @@ def _local_kernel(nstages, canon,
                   x_ref, tws_ref, o_ref):
     """Stages 0..nstages-1 inside one 128-lane tile.  Butterflies via
     masked lane-rolls: every lane computes its pair's (lo, hi), multiplies
-    hi by the periodic twiddle, and keeps add or sub by lane parity."""
+    hi by the periodic twiddle, and keeps add or sub by lane parity.
+
+    The twiddle product uses the RELAXED Montgomery variant (limbs
+    <= 257, value < 2p — VERDICT r4 item 5): `_add`/`_sub` accept
+    relaxed operands and their exact carries re-canonicalize every
+    butterfly output, so the u8 store contract is unchanged while each
+    mul drops the ~3K-op exact-carry ending."""
     fc = (p_ref[:], pinv_ref[:], twop_ref[:], comp2p_ref[:], one_ref[:])
     x = x_ref[:].astype(jnp.int32)
     lane = lax.broadcasted_iota(jnp.int32, (1, TL), 1)
@@ -130,7 +137,7 @@ def _local_kernel(nstages, canon,
         hi_v = jnp.where(is_lo, xh, x)
         lo_v = jnp.where(is_lo, x, xl)
         tw = tws_ref[s * NLIMBS : (s + 1) * NLIMBS, :]
-        t = _mont_mul(fc, hi_v, tw)
+        t = _mont_mul_r(fc, hi_v, tw)
         x = jnp.where(is_lo, _add(fc, lo_v, t), _sub(fc, lo_v, t))
     if canon:
         x = _cond_sub(compp_ref[:], x)
@@ -162,7 +169,8 @@ def _gstage_sp_kernel(s_ref,
     is_lo = g % (2 * hb) < hb  # scalar, traced
     lo = jnp.where(is_lo, own, part)
     hi = jnp.where(is_lo, part, own)
-    t = _mont_mul(fc, hi, tw_ref[:].astype(jnp.int32))
+    # relaxed product: _add/_sub re-canonicalize before the u8 store
+    t = _mont_mul_r(fc, hi, tw_ref[:].astype(jnp.int32))
     r = jnp.where(is_lo, _add(fc, lo, t), _sub(fc, lo, t))
     r = jnp.where(s_ref[2] != 0, _cond_sub(compp_ref[:], r), r)
     o_ref[:] = r.astype(jnp.uint8)
@@ -172,9 +180,15 @@ def _ew_mul_kernel(canon,
                    p_ref, pinv_ref, twop_ref, comp2p_ref, one_ref, compp_ref,
                    a_ref, b_ref, o_ref):
     """Elementwise Montgomery product of a u8 batch tile with a shared
-    u8 multiplier tile (both limbs-on-sublanes)."""
+    u8 multiplier tile (both limbs-on-sublanes).  Relaxed mul + one
+    32-limb exact carry (the output feeds a u8 store)."""
     fc = (p_ref[:], pinv_ref[:], twop_ref[:], comp2p_ref[:], one_ref[:])
-    r = _mont_mul(fc, a_ref[:].astype(jnp.int32), b_ref[:].astype(jnp.int32))
+    r = _carry(
+        _mont_mul_r(
+            fc, a_ref[:].astype(jnp.int32), b_ref[:].astype(jnp.int32)
+        ),
+        NLIMBS,
+    )
     if canon:
         r = _cond_sub(compp_ref[:], r)
     o_ref[:] = r.astype(jnp.uint8)
@@ -308,11 +322,15 @@ def _local_dif_kernel(nstages, canon,
         hi_v = jnp.where(is_lo, xh, x)
         lo_v = jnp.where(is_lo, x, xl)
         tw = tws_ref[s * NLIMBS : (s + 1) * NLIMBS, :]
+        # relaxed products between stages (_add/_sub/_mont_mul_r all
+        # accept limbs <= 257); ONE exact 32-limb carry at the end
+        # re-canonicalizes the mul-path lanes for the u8 store
         x = jnp.where(
             is_lo,
             _add(fc, lo_v, hi_v),
-            _mont_mul(fc, _sub(fc, lo_v, hi_v), tw),
+            _mont_mul_r(fc, _sub(fc, lo_v, hi_v), tw),
         )
+    x = _carry(x, NLIMBS)
     if canon:
         x = _cond_sub(compp_ref[:], x)
     o_ref[:] = x.astype(jnp.uint8)
@@ -332,10 +350,15 @@ def _gstage_dif_sp_kernel(s_ref,
     is_lo = g % (2 * hb) < hb
     lo = jnp.where(is_lo, own, part)
     hi = jnp.where(is_lo, part, own)
+    # the DIF product IS the stored output, so the relaxed mul gets a
+    # cheap 32-limb exact carry (vs the 64-limb ending inside _mont_mul)
     r = jnp.where(
         is_lo,
         _add(fc, lo, hi),
-        _mont_mul(fc, _sub(fc, lo, hi), tw_ref[:].astype(jnp.int32)),
+        _carry(
+            _mont_mul_r(fc, _sub(fc, lo, hi), tw_ref[:].astype(jnp.int32)),
+            NLIMBS,
+        ),
     )
     o_ref[:] = r.astype(jnp.uint8)
 
@@ -397,7 +420,7 @@ def _ew_mul_scalar_kernel(canon,
                           p_ref, pinv_ref, twop_ref, comp2p_ref, one_ref,
                           compp_ref, a_ref, b_ref, o_ref):
     fc = (p_ref[:], pinv_ref[:], twop_ref[:], comp2p_ref[:], one_ref[:])
-    r = _mont_mul(fc, a_ref[:].astype(jnp.int32), b_ref[:])
+    r = _carry(_mont_mul_r(fc, a_ref[:].astype(jnp.int32), b_ref[:]), NLIMBS)
     if canon:
         r = _cond_sub(compp_ref[:], r)
     o_ref[:] = r.astype(jnp.uint8)

@@ -585,7 +585,10 @@ class DeviceQuotient:
                 return ep._sub(self.fc, a, b)
 
             def mul(self, a, b):
-                return ep._mont_mul(self.fc, a, b)
+                # relaxed-domain product (limbs <= 257): every consumer
+                # in the expression DAG (add/sub/mul/the final
+                # _cond_sub carry) accepts relaxed operands
+                return ep._mont_mul_r(self.fc, a, b)
 
             def neg(self, a):
                 return ep._sub(self.fc, jnp.zeros_like(a), a)
@@ -687,7 +690,12 @@ class DeviceQuotient:
                 )
             num = fold_y(ops, exprs, yv)
             num = ops.mul(num, vi)
-            out_ref[:] = ep._cond_sub(compp, num).astype(jnp.uint8)
+            # exact 32-limb carry first: _cond_sub's a<p branch returns
+            # its input unchanged, which must be canonical for the u8
+            # store (same pattern as fa_fused's `canon`)
+            out_ref[:] = ep._cond_sub(compp, ep._carry(num, NL)).astype(
+                jnp.uint8
+            )
 
         lspec = lambda: pl.BlockSpec(
             (NL, TLn), lambda g: (0, g), memory_space=pltpu.VMEM
