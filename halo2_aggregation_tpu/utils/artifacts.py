@@ -95,13 +95,6 @@ def load_vk_npz(path: str):
 
 
 def load_vk(stem: str):
-    """Load `<stem>.vk.npz`, falling back to the legacy round-4 pickle
-    (`<stem>.vk.pkl`, self-produced data only)."""
-    import os
-
-    if os.path.exists(f"{stem}.vk.npz"):
-        return load_vk_npz(f"{stem}.vk.npz")
-    import pickle  # legacy artifacts from round 4 only
-
-    with open(f"{stem}.vk.pkl", "rb") as f:
-        return pickle.load(f)
+    """Load `<stem>.vk.npz` (every checked-in artifact was migrated off
+    the round-4 pickle container in round 5)."""
+    return load_vk_npz(f"{stem}.vk.npz")
