@@ -898,7 +898,7 @@ def signed_windows_dev(scalars, nbits=254, width=5, pad_to=4):
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def msm_bucket_pallas_s5(xs, ys, scalars, nbits=254, tile=128, interpret=False,
-                         kfold=True):
+                         kfold=True, wpg=4):
     """Pippenger MSM with signed 5-bit digits + mixed adds — the upgraded
     default over `msm_bucket_pallas` (52 windows instead of 64, 18
     mont_muls per bucket add instead of 23; ~1.6x fewer VPU multiplies
@@ -908,12 +908,16 @@ def msm_bucket_pallas_s5(xs, ys, scalars, nbits=254, tile=128, interpret=False,
 
     kfold=True runs the per-window bucket fold inside the kernel's last
     grid step (VMEM-resident) and dumps only one folded point per window;
-    the XLA side then just tree-reduces lanes and Horners windows."""
+    the XLA side then just tree-reduces lanes and Horners windows.
+
+    (tile, wpg) set the VMEM working set (wpg*17 bucket tiles of
+    (32, tile) i32 per coordinate: 3.3MB total at (128, 4), 6.7MB at
+    (256, 4) — inside the ~16MB/core budget) and the grid-step count
+    n/tile * ceil(52/wpg); wider tiles amortize per-step overhead."""
     from .curve_ops import JacPoint, jac_add, jac_double, jac_identity
 
     n = xs.shape[0]
     assert n % tile == 0
-    wpg = 4
     enc = signed_windows_dev(scalars, nbits, 5, wpg)
     n_win = enc.shape[0]
     n_grp = n_win // wpg

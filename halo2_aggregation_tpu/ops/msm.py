@@ -85,6 +85,7 @@ def msm_pallas(
     from . import ec_pallas as ep
     from . import field_ops as fo
 
+    tile = int(os.environ.get("H2A_MSM_TILE", str(tile)))
     n = points.x.shape[0]
     scalars = jnp.asarray(scalars, jnp.int32)
     scalars = jnp.where(points.inf[:, None], 0, scalars)
@@ -101,8 +102,9 @@ def msm_pallas(
         )
     if os.environ.get("H2A_MSM_SIGNED", "1") == "1":
         kfold = os.environ.get("H2A_MSM_KFOLD", "1") == "1"
+        wpg = int(os.environ.get("H2A_MSM_WPG", "4"))
         return ep.msm_bucket_pallas_s5(
-            xs, ys, scalars, nbits, tile, interpret, kfold
+            xs, ys, scalars, nbits, tile, interpret, kfold, wpg
         )
     return ep.msm_bucket_pallas(xs, ys, scalars, nbits, tile, interpret)
 
