@@ -896,7 +896,7 @@ def signed_windows_dev(scalars, nbits=254, width=5, pad_to=4):
     return enc
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
 def msm_bucket_pallas_s5(xs, ys, scalars, nbits=254, tile=128, interpret=False,
                          kfold=True, wpg=4):
     """Pippenger MSM with signed 5-bit digits + mixed adds — the upgraded
