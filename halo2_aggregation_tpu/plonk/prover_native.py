@@ -118,6 +118,34 @@ def create_proof_native(
     def commit(plain_col: np.ndarray):
         return params.commit_lagrange(plain_col)
 
+    # The device-quotient engine is created UP FRONT and columns are
+    # INTT'd + fed the moment their values are final (advice after the
+    # advice commits, lookup polys after their stage, ...), not batched
+    # into a late "coefficient transforms" stage: the packed-column H2D
+    # runs at tunnel rate (7-14MB/s; ~620s of pack+drain stall for the
+    # 10GB k=23 stack in docs/PHASE_D_n4_k23_dq_run.log when feeding
+    # started only at the INTT stage), and feeding early overlaps it
+    # with the commit/grand-product host stages instead.  Feeds never
+    # touch the transcript or the rng, so proof bytes are unchanged
+    # (pinned by tests/test_prover_native.py).
+    dq = None
+    if _use_device_quotient(k):
+        from .quotient_device import DeviceQuotient
+
+        dq = DeviceQuotient(cs, k)
+
+    def coeffs_of(plain_col, key=None) -> np.ndarray:
+        nonlocal dq
+        c = dom.intt(to_mont(plain_col))
+        if dq is not None and key is not None:
+            try:
+                dq.feed(key, c)
+            except Exception as e:  # device trouble -> host coset loop
+                log(f"device feed failed ({type(e).__name__}: {e}); "
+                    "falling back to the host quotient")
+                dq = None
+        return c
+
     # --- 0. vk hash + instance commitments (verifier.rs:339-363) -----------
     t.common_scalar(pk.vk.hash_scalar())
     inst_plain = []
@@ -146,12 +174,33 @@ def create_proof_native(
         advice_plain.append(col)
         t.write_point(commit(col))
     log("advice committed")
+    inst_coeffs = [
+        coeffs_of(c, ("instance", i)) for i, c in enumerate(inst_plain)
+    ]
+    adv_coeffs = [
+        coeffs_of(c, ("advice", i)) for i, c in enumerate(advice_plain)
+    ]
 
     theta = t.squeeze_challenge()
     theta_m = mont_scalar(theta)
 
     fixed_plain = [_as_plain_u64(c) for c in pk.fixed_columns]
     sigma_plain = [_as_plain_u64(c) for c in pk.sigma_columns]
+    fix_coeffs = [
+        coeffs_of(c, ("fixed", i)) for i, c in enumerate(fixed_plain)
+    ]
+    sig_coeffs = [
+        coeffs_of(c, ("sigma", i)) for i, c in enumerate(sigma_plain)
+    ]
+
+    def one_hot(rows, key):
+        col = np.zeros((n, 4), np.uint64)
+        col[list(rows), 0] = 1
+        return coeffs_of(col, key)
+
+    l0_coeffs = one_hot([0], ("l0", 0))
+    llast_coeffs = one_hot([usable], ("llast", 0))
+    lblind_coeffs = one_hot(range(usable + 1, n), ("lblind", 0))
 
     # raw mont leaves per query (Lagrange domain) for lookup compression
     adv_raw_m = [to_mont(c) for c in adv_raw_plain]
@@ -193,6 +242,13 @@ def create_proof_native(
         )
         t.write_point(commit(ap_plain))
         t.write_point(commit(sp_plain))
+        li = len(lookups) - 1
+        lookups[-1]["a_prime_coeffs"] = coeffs_of(
+            ap_plain, ("lookup_a", li)
+        )
+        lookups[-1]["s_prime_coeffs"] = coeffs_of(
+            sp_plain, ("lookup_s", li)
+        )
     log("lookups permuted")
 
     beta = t.squeeze_challenge()
@@ -242,6 +298,9 @@ def create_proof_native(
         zcol = np.vstack([zcol, blinds])
         perm_z_plain.append(zcol)
         t.write_point(commit(zcol))
+    permz_coeffs = [
+        coeffs_of(c, ("perm_z", ci)) for ci, c in enumerate(perm_z_plain)
+    ]
     log("permutation products")
 
     # --- 4. lookup grand products (verifier.rs:411-417) ---------------------
@@ -262,16 +321,22 @@ def create_proof_native(
         zcol = np.vstack([zcol, blinds])
         lk["z_plain"] = zcol
         t.write_point(commit(zcol))
+    for li, lk in enumerate(lookups):
+        lk["z_coeffs"] = coeffs_of(lk["z_plain"], ("lookup_z", li))
     log("lookup products")
 
     # --- 5. vanishing random poly (verifier.rs:419-421) ---------------------
     r_plain = ints_to_u64([_rand_fr(rng) for _ in range(n)])
     t.write_point(commit(r_plain))
+    r_coeffs = coeffs_of(r_plain)
 
     y = t.squeeze_challenge()
     y_m = mont_scalar(y)
 
     # --- 6. quotient h(X), per-coset (verifier.rs:427-434 reads pieces) -----
+    # (every coefficient column was already INTT'd + fed to the device
+    # at its source stage above — the H2D has been draining since the
+    # advice commits)
     shift_bits = max(1, (degree - 2).bit_length())
     ext_k = k + shift_bits
     ext_n = 1 << ext_k
@@ -279,61 +344,14 @@ def create_proof_native(
     g = FR_GENERATOR
     omega_ext = fr_omega(ext_k)
 
-    # Incremental device-quotient feed: each column's packed bytes ship
-    # through an ASYNC device_put right after its INTT, so the ~100-200s
-    # tunnel H2D overlaps the remaining host INTT work instead of
-    # serializing after it (VERDICT r3 item 2 / ROADMAP item 1).
-    dq = None
-    if _use_device_quotient(k):
-        from .quotient_device import DeviceQuotient
-
-        dq = DeviceQuotient(cs, k)
-
-    def coeffs_of(plain_col, key=None) -> np.ndarray:
-        nonlocal dq
-        c = dom.intt(to_mont(plain_col))
-        if dq is not None and key is not None:
-            try:
-                dq.feed(key, c)
-            except Exception as e:  # device trouble -> host coset loop
-                log(f"device feed failed ({type(e).__name__}: {e}); "
-                    "falling back to the host quotient")
-                dq = None
-        return c
-
-    adv_coeffs = [
-        coeffs_of(c, ("advice", i)) for i, c in enumerate(advice_plain)
-    ]
-    fix_coeffs = [
-        coeffs_of(c, ("fixed", i)) for i, c in enumerate(fixed_plain)
-    ]
-    inst_coeffs = [
-        coeffs_of(c, ("instance", i)) for i, c in enumerate(inst_plain)
-    ]
-    sig_coeffs = [
-        coeffs_of(c, ("sigma", i)) for i, c in enumerate(sigma_plain)
-    ]
-    permz_coeffs = [
-        coeffs_of(c, ("perm_z", ci)) for ci, c in enumerate(perm_z_plain)
-    ]
     lookup_coeffs = [
         {
-            "a_prime": coeffs_of(lk["a_prime_plain"], ("lookup_a", li)),
-            "s_prime": coeffs_of(lk["s_prime_plain"], ("lookup_s", li)),
-            "z": coeffs_of(lk["z_plain"], ("lookup_z", li)),
+            "a_prime": lk["a_prime_coeffs"],
+            "s_prime": lk["s_prime_coeffs"],
+            "z": lk["z_coeffs"],
         }
-        for li, lk in enumerate(lookups)
+        for lk in lookups
     ]
-    r_coeffs = coeffs_of(r_plain)
-
-    def one_hot(rows, key):
-        col = np.zeros((n, 4), np.uint64)
-        col[list(rows), 0] = 1
-        return coeffs_of(col, key)
-
-    l0_coeffs = one_hot([0], ("l0", 0))
-    llast_coeffs = one_hot([usable], ("llast", 0))
-    lblind_coeffs = one_hot(range(usable + 1, n), ("lblind", 0))
     log("coefficient transforms")
 
     h_ext_m = np.empty((ext_n, 4), np.uint64)
