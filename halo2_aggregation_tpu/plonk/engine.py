@@ -164,3 +164,70 @@ def eval_at(coeffs_mont: np.ndarray, x: int) -> int:
     """Horner-evaluate a mont coefficient column at plain int x -> int."""
     acc = native.fr_horner(coeffs_mont, mont_scalar(x).reshape(-1))
     return scalar_to_int(acc.reshape(1, 4))
+
+
+class Barycentric:
+    """Exact polynomial evaluation from VALUES on the 2^k domain — the
+    prover-side engine that lets coefficients never materialize on the
+    host when the device quotient is active (ROADMAP "coupled
+    device-prover move").
+
+    For the domain {omega^i}, the Lagrange weights give
+
+        F(z) = (1 - z^n)/n * sum_i F_i * w_i,   w_i = omega^i/(omega^i - z)
+
+    (derived from L_i(z) = (z^n - 1) * omega^i / (n * (z - omega^i)),
+    using V'(omega^i) = n * omega^{-i}).  All arithmetic is exact mod r,
+    so evaluations are bit-identical to Horner over the INTT'd
+    coefficients (pinned by tests/test_native_engine.py and the
+    test_prover_native byte-parity suite).
+
+    The batch-inverted denominator column dinv_i = 1/(omega^i - z) is
+    cached per point and shared with `witness_evals`, the eval-form
+    multiopen witness W_i = (F_i - F(z)) * dinv_i — the same polynomial
+    the reference commits after synthetic division (multiopen.rs:271-509
+    verifies it), built here without ever leaving the Lagrange basis.
+
+    Raises ZeroDivisionError if z lands on a domain point (probability
+    ~n/2^254); callers fall back to the coefficient path.
+    """
+
+    def __init__(self, k: int):
+        self.k = k
+        self.n = 1 << k
+        self.omega = fr_omega(k)
+        self.omega_pows = pow_series(mont_scalar(self.omega), self.n)
+        self._n_inv = pow(self.n, -1, R)
+        self._points = {}  # z -> (dinv col, weight col, c_z mont scalar)
+
+    def point(self, z: int):
+        z = int(z) % R
+        entry = self._points.get(z)
+        if entry is None:
+            d = native.fr_vec_binop(
+                1, self.omega_pows, 0, mont_scalar(z), 0, self.n
+            )
+            if not d.any(axis=1).all():
+                raise ZeroDivisionError(f"evaluation point {z} is in the domain")
+            native.fr_batch_inv_inplace(d)
+            w = native.fr_vec_binop(2, d, 0, self.omega_pows, 0, self.n)
+            c_z = mont_scalar((1 - pow(z, self.n, R)) * self._n_inv % R)
+            entry = self._points[z] = (d, w, c_z)
+        return entry
+
+    def eval(self, evals_mont: np.ndarray, z: int) -> int:
+        """F(z) from F's values on the domain (exact, == Horner)."""
+        _, w, c_z = self.point(z)
+        s = native.fr_dot(evals_mont, w).reshape(1, 4)
+        return scalar_to_int(native.fr_vec_binop(2, s, 0, c_z, 0, 1))
+
+    def witness_evals(self, folded_mont: np.ndarray, fe: int, z: int):
+        """Values of W(X) = (F(X) - F(z))/(X - z) on the domain, from
+        F's values: W_i = (F_i - fe) * dinv_i.  W has degree <= n-2, so
+        its domain values determine it; commit_lagrange over them equals
+        the commit of the synthetic-division quotient bit-for-bit."""
+        dinv, _, _ = self.point(z)
+        num = native.fr_vec_binop(
+            1, folded_mont, 0, mont_scalar(fe), 0, self.n
+        )
+        return native.fr_vec_binop(2, num, 0, dinv, 0, self.n)

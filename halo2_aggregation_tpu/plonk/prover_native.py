@@ -26,6 +26,7 @@ from ..utils.transcript import Blake2bWrite
 from ..utils.u64 import ints_to_u64
 from .circuit import Any, Assignment
 from .engine import (
+    Barycentric,
     NativeDomain,
     NativeVecOps,
     col_from_ints,
@@ -118,33 +119,74 @@ def create_proof_native(
     def commit(plain_col: np.ndarray):
         return params.commit_lagrange(plain_col)
 
-    # The device-quotient engine is created UP FRONT and columns are
-    # INTT'd + fed the moment their values are final (advice after the
-    # advice commits, lookup polys after their stage, ...), not batched
-    # into a late "coefficient transforms" stage: the packed-column H2D
-    # runs at tunnel rate (7-14MB/s; ~620s of pack+drain stall for the
-    # 10GB k=23 stack in docs/PHASE_D_n4_k23_dq_run.log when feeding
-    # started only at the INTT stage), and feeding early overlaps it
-    # with the commit/grand-product host stages instead.  Feeds never
-    # touch the transcript or the rng, so proof bytes are unchanged
-    # (pinned by tests/test_prover_native.py).
+    # The device-quotient engine is created UP FRONT and every column is
+    # fed the moment its values are final (fixed/sigma immediately,
+    # advice after the advice commits, lookup polys after their stage,
+    # ...), not batched into a late "coefficient transforms" stage: the
+    # packed-column H2D runs at tunnel rate (7-14MB/s; ~620s of
+    # pack+drain stall for the 10GB k=23 stack in
+    # docs/PHASE_D_n4_k23_dq_run.log when feeding started only at the
+    # INTT stage), and feeding early overlaps it with the commit/grand-
+    # product host stages instead.  Feeds never touch the transcript or
+    # the rng, so proof bytes are unchanged (pinned by
+    # tests/test_prover_native.py).
+    #
+    # Columns ship in EVALUATION form (feed_evals) and the device does
+    # the INTT — the coupled device-prover move (ROADMAP round-5/6 item
+    # 2): the host keeps only the Montgomery VALUE columns (`evm`), the
+    # step-7 evaluations run via engine.Barycentric dot products, and
+    # the multiopen witnesses are built pointwise in the Lagrange basis
+    # ((F_i - F(z)) / (x_i - z), batch-inverted denominators), so
+    # coefficients NEVER materialize on the host while the device is
+    # healthy.  `get_coeffs` computes them lazily for the host-quotient
+    # fallback (device failure / no TPU) and for the astronomically
+    # unlikely case of an evaluation point landing in the domain.
     dq = None
     if _use_device_quotient(k):
         from .quotient_device import DeviceQuotient
 
         dq = DeviceQuotient(cs, k)
+    dq_keys = frozenset(dq.key_order) if dq is not None else frozenset()
 
-    def coeffs_of(plain_col, key=None) -> np.ndarray:
+    evm: dict = {}  # key -> (n, 4) u64 mont VALUE column
+    _coeffs: dict = {}  # key -> (n, 4) u64 mont coefficient column (lazy)
+
+    def register(key, plain_col) -> None:
         nonlocal dq
-        c = dom.intt(to_mont(plain_col))
-        if dq is not None and key is not None:
+        m = to_mont(plain_col)
+        evm[key] = m
+        if dq is not None and key in dq_keys:
             try:
-                dq.feed(key, c)
+                dq.feed_evals(key, m)
             except Exception as e:  # device trouble -> host coset loop
                 log(f"device feed failed ({type(e).__name__}: {e}); "
                     "falling back to the host quotient")
                 dq = None
-        return c
+
+    def get_coeffs(key) -> np.ndarray:
+        if key not in _coeffs:
+            _coeffs[key] = dom.intt(evm[key])
+        return _coeffs[key]
+
+    # fixed/sigma/selector columns are final from keygen — register (and
+    # start their async H2D) before the transcript even opens, so at
+    # k=23 more than half the device stack ships while the instance/
+    # advice commits run
+    fixed_plain = [_as_plain_u64(c) for c in pk.fixed_columns]
+    sigma_plain = [_as_plain_u64(c) for c in pk.sigma_columns]
+    for i, c in enumerate(fixed_plain):
+        register(("fixed", i), c)
+    for i, c in enumerate(sigma_plain):
+        register(("sigma", i), c)
+
+    def one_hot(rows, key):
+        col = np.zeros((n, 4), np.uint64)
+        col[list(rows), 0] = 1
+        register(key, col)
+
+    one_hot([0], ("l0", 0))
+    one_hot([usable], ("llast", 0))
+    one_hot(range(usable + 1, n), ("lblind", 0))
 
     # --- 0. vk hash + instance commitments (verifier.rs:339-363) -----------
     t.common_scalar(pk.vk.hash_scalar())
@@ -174,38 +216,20 @@ def create_proof_native(
         advice_plain.append(col)
         t.write_point(commit(col))
     log("advice committed")
-    inst_coeffs = [
-        coeffs_of(c, ("instance", i)) for i, c in enumerate(inst_plain)
-    ]
-    adv_coeffs = [
-        coeffs_of(c, ("advice", i)) for i, c in enumerate(advice_plain)
-    ]
+    for i, c in enumerate(inst_plain):
+        register(("instance", i), c)
+    for i, c in enumerate(advice_plain):
+        register(("advice", i), c)
 
     theta = t.squeeze_challenge()
     theta_m = mont_scalar(theta)
 
-    fixed_plain = [_as_plain_u64(c) for c in pk.fixed_columns]
-    sigma_plain = [_as_plain_u64(c) for c in pk.sigma_columns]
-    fix_coeffs = [
-        coeffs_of(c, ("fixed", i)) for i, c in enumerate(fixed_plain)
-    ]
-    sig_coeffs = [
-        coeffs_of(c, ("sigma", i)) for i, c in enumerate(sigma_plain)
-    ]
-
-    def one_hot(rows, key):
-        col = np.zeros((n, 4), np.uint64)
-        col[list(rows), 0] = 1
-        return coeffs_of(col, key)
-
-    l0_coeffs = one_hot([0], ("l0", 0))
-    llast_coeffs = one_hot([usable], ("llast", 0))
-    lblind_coeffs = one_hot(range(usable + 1, n), ("lblind", 0))
-
     # raw mont leaves per query (Lagrange domain) for lookup compression
+    # (fixed/instance mont values are exactly the registered columns;
+    # advice differs — compression reads the PRE-blind values)
     adv_raw_m = [to_mont(c) for c in adv_raw_plain]
-    fix_raw_m = [to_mont(c) for c in fixed_plain]
-    inst_raw_m = [to_mont(c) for c in inst_plain]
+    fix_raw_m = [evm[("fixed", i)] for i in range(len(fixed_plain))]
+    inst_raw_m = [evm[("instance", i)] for i in range(len(inst_plain))]
     adv_leaf_m = [
         roll(adv_raw_m[c.index], rot.value) for c, rot in cs.advice_queries
     ]
@@ -243,12 +267,8 @@ def create_proof_native(
         t.write_point(commit(ap_plain))
         t.write_point(commit(sp_plain))
         li = len(lookups) - 1
-        lookups[-1]["a_prime_coeffs"] = coeffs_of(
-            ap_plain, ("lookup_a", li)
-        )
-        lookups[-1]["s_prime_coeffs"] = coeffs_of(
-            sp_plain, ("lookup_s", li)
-        )
+        register(("lookup_a", li), ap_plain)
+        register(("lookup_s", li), sp_plain)
     log("lookups permuted")
 
     beta = t.squeeze_challenge()
@@ -298,9 +318,8 @@ def create_proof_native(
         zcol = np.vstack([zcol, blinds])
         perm_z_plain.append(zcol)
         t.write_point(commit(zcol))
-    permz_coeffs = [
-        coeffs_of(c, ("perm_z", ci)) for ci, c in enumerate(perm_z_plain)
-    ]
+    for ci, c in enumerate(perm_z_plain):
+        register(("perm_z", ci), c)
     log("permutation products")
 
     # --- 4. lookup grand products (verifier.rs:411-417) ---------------------
@@ -322,13 +341,13 @@ def create_proof_native(
         lk["z_plain"] = zcol
         t.write_point(commit(zcol))
     for li, lk in enumerate(lookups):
-        lk["z_coeffs"] = coeffs_of(lk["z_plain"], ("lookup_z", li))
+        register(("lookup_z", li), lk["z_plain"])
     log("lookup products")
 
     # --- 5. vanishing random poly (verifier.rs:419-421) ---------------------
     r_plain = ints_to_u64([_rand_fr(rng) for _ in range(n)])
     t.write_point(commit(r_plain))
-    r_coeffs = coeffs_of(r_plain)
+    register(("vanishing_r", 0), r_plain)
 
     y = t.squeeze_challenge()
     y_m = mont_scalar(y)
@@ -343,16 +362,6 @@ def create_proof_native(
     step = ext_n // n
     g = FR_GENERATOR
     omega_ext = fr_omega(ext_k)
-
-    lookup_coeffs = [
-        {
-            "a_prime": lk["a_prime_coeffs"],
-            "s_prime": lk["s_prime_coeffs"],
-            "z": lk["z_coeffs"],
-        }
-        for lk in lookups
-    ]
-    log("coefficient transforms")
 
     h_ext_m = np.empty((ext_n, 4), np.uint64)
     if dq is not None:
@@ -388,27 +397,29 @@ def create_proof_native(
             return _cache[key]
 
         adv_leaf = [
-            roll(ext_cached(("a", c.index), adv_coeffs[c.index]), rot.value)
+            roll(ext_cached(("a", c.index), get_coeffs(("advice", c.index))), rot.value)
             for c, rot in cs.advice_queries
         ]
         fix_leaf = [
-            roll(ext_cached(("f", c.index), fix_coeffs[c.index]), rot.value)
+            roll(ext_cached(("f", c.index), get_coeffs(("fixed", c.index))), rot.value)
             for c, rot in cs.fixed_queries
         ]
         inst_leaf = [
-            roll(ext_cached(("i", c.index), inst_coeffs[c.index]), rot.value)
+            roll(ext_cached(("i", c.index), get_coeffs(("instance", c.index))), rot.value)
             for c, rot in cs.instance_queries
         ]
-        sigma_leaf = [ext(c) for c in sig_coeffs]
-        l0_e = ext(l0_coeffs)
-        llast_e = ext(llast_coeffs)
-        lblind_e = ext(lblind_coeffs)
+        sigma_leaf = [
+            ext(get_coeffs(("sigma", i))) for i in range(len(sigma_plain))
+        ]
+        l0_e = ext(get_coeffs(("l0", 0)))
+        llast_e = ext(get_coeffs(("llast", 0)))
+        lblind_e = ext(get_coeffs(("lblind", 0)))
         coset_x = pow_series(mont_scalar(omega), n, mont_scalar(shift))
 
         exprs = gate_expressions(ops, cs, adv_leaf, fix_leaf, inst_leaf)
         perm_sets = []
         for ci in range(num_chunks):
-            ze = ext(permz_coeffs[ci])
+            ze = ext(get_coeffs(("perm_z", ci)))
             perm_sets.append(
                 PermutationSetEvals(
                     z=ze,
@@ -421,9 +432,9 @@ def create_proof_native(
             l0_e, llast_e, lblind_e, beta_m, gamma_m, coset_x, chunk_len,
         )
         for li, arg in enumerate(cs.lookups):
-            ze = ext(lookup_coeffs[li]["z"])
-            ae = ext(lookup_coeffs[li]["a_prime"])
-            se = ext(lookup_coeffs[li]["s_prime"])
+            ze = ext(get_coeffs(("lookup_z", li)))
+            ae = ext(get_coeffs(("lookup_a", li)))
+            se = ext(get_coeffs(("lookup_s", li)))
             ev = LookupEvals(
                 z=ze, z_next=roll(ze, 1), a_prime=ae,
                 a_prime_prev=roll(ae, -1), s_prime=se,
@@ -449,8 +460,11 @@ def create_proof_native(
             [h_coeffs_m, np.zeros((qpd * n - h_coeffs_m.shape[0], 4), np.uint64)]
         )
     h_pieces_m = [h_coeffs_m[i * n : (i + 1) * n] for i in range(qpd)]
+    h_piece_ev = []  # mont VALUE columns, kept for the eval-form fold
     for piece in h_pieces_m:
-        t.write_point(commit(from_mont(dom.ntt(piece))))
+        ev = dom.ntt(piece)
+        h_piece_ev.append(ev)
+        t.write_point(commit(from_mont(ev)))
     log("quotient committed")
 
     x = t.squeeze_challenge()
@@ -458,54 +472,78 @@ def create_proof_native(
     # --- 7. evaluations (verifier.rs:438-510) --------------------------------
     omega_inv = pow(omega, -1, R)
 
-    def at_rot(coeffs_m, rot):
+    def z_of(rot: int) -> int:
         if rot >= 0:
-            pt = x * pow(omega, rot, R) % R
-        else:
-            pt = x * pow(omega_inv, -rot, R) % R
-        return eval_at(coeffs_m, pt)
+            return x * pow(omega, rot, R) % R
+        return x * pow(omega_inv, -rot, R) % R
+
+    # Barycentric machinery: one batch-inverted denominator column per
+    # distinct evaluation point, shared between the step-7 evaluations
+    # and the step-8 eval-form multiopen witnesses — evaluations run
+    # straight off the VALUE columns, so coefficients never materialize
+    # on the host.  Falls back to the coefficient path (Horner +
+    # synthetic division over get_coeffs) iff an evaluation point lands
+    # exactly on the domain (probability ~ n/2^254).
+    sched = query_schedule(cs, num_chunks, len(cs.lookups))
+    bary = Barycentric(k)
+    try:
+        for rot, _ in rotation_sets(sched):
+            bary.point(z_of(rot))
+    except ZeroDivisionError:
+        bary = None
+
+    def poly_of(key):
+        return evm[key] if bary is not None else get_coeffs(key)
+
+    def at_rot(key, rot) -> int:
+        if bary is not None:
+            return bary.eval(evm[key], z_of(rot))
+        return eval_at(get_coeffs(key), z_of(rot))
 
     inst_evals = [
-        at_rot(inst_coeffs[c.index], rot.value)
+        at_rot(("instance", c.index), rot.value)
         for c, rot in cs.instance_queries
     ]
     for e in inst_evals:
         t.write_scalar(e)
     adv_evals = [
-        at_rot(adv_coeffs[c.index], rot.value) for c, rot in cs.advice_queries
+        at_rot(("advice", c.index), rot.value)
+        for c, rot in cs.advice_queries
     ]
     for e in adv_evals:
         t.write_scalar(e)
     fix_evals = [
-        at_rot(fix_coeffs[c.index], rot.value) for c, rot in cs.fixed_queries
+        at_rot(("fixed", c.index), rot.value)
+        for c, rot in cs.fixed_queries
     ]
     for e in fix_evals:
         t.write_scalar(e)
-    r_eval = at_rot(r_coeffs, 0)
+    r_eval = at_rot(("vanishing_r", 0), 0)
     t.write_scalar(r_eval)
-    sigma_evals = [at_rot(c, 0) for c in sig_coeffs]
+    sigma_evals = [
+        at_rot(("sigma", i), 0) for i in range(len(sigma_plain))
+    ]
     for e in sigma_evals:
         t.write_scalar(e)
     perm_ev = []
     for ci in range(num_chunks):
-        z_x = at_rot(permz_coeffs[ci], 0)
-        z_nx = at_rot(permz_coeffs[ci], 1)
+        z_x = at_rot(("perm_z", ci), 0)
+        z_nx = at_rot(("perm_z", ci), 1)
         t.write_scalar(z_x)
         t.write_scalar(z_nx)
         z_last = None
         if ci < num_chunks - 1:
-            z_last = at_rot(permz_coeffs[ci], -(bf + 1))
+            z_last = at_rot(("perm_z", ci), -(bf + 1))
             t.write_scalar(z_last)
         perm_ev.append((z_x, z_nx, z_last))
     lookup_ev = []
     for li in range(len(cs.lookups)):
-        lc = lookup_coeffs[li]
         vals = (
-            at_rot(lc["z"], 0),
-            at_rot(lc["z"], 1),
-            at_rot(lc["a_prime"], 0),
-            at_rot(lc["a_prime"], -1),
-            at_rot(lc["s_prime"], 0),
+            at_rot(("lookup_z", li), 0),
+            at_rot(("lookup_z", li), 1),
+            at_rot(("lookup_a", li), 0),
+            at_rot(("lookup_a", li), -1),
+            at_rot(("lookup_s", li), 0),
         )
         for vv in vals:
             t.write_scalar(vv)
@@ -517,67 +555,78 @@ def create_proof_native(
     v_m = mont_scalar(v)
 
     # --- 8. multiopen witnesses (multiopen.rs:271-509 verifies these) -------
+    # The folded h is assembled in whatever basis step 8 runs in: VALUE
+    # columns (h_piece_ev) on the barycentric path, coefficients on the
+    # fallback — the fold is the same linear combination either way.
     xn = pow(x, n, R)
-    h_folded_m = h_pieces_m[-1].copy()
-    for piece in reversed(h_pieces_m[:-1]):
-        native.fr_fold_inplace(h_folded_m, piece, mont_scalar(xn).reshape(-1))
-    h_eval = eval_at(h_folded_m, x)
+    h_src = h_piece_ev if bary is not None else h_pieces_m
+    h_folded = h_src[-1].copy()
+    for piece in reversed(h_src[:-1]):
+        native.fr_fold_inplace(h_folded, piece, mont_scalar(xn).reshape(-1))
+    h_eval = (
+        bary.eval(h_folded, x) if bary is not None else eval_at(h_folded, x)
+    )
 
-    sched = query_schedule(cs, num_chunks, len(cs.lookups))
     polys = {}
     for q in sched:
         if q.kind == "instance":
             col, rot = cs.instance_queries[q.index]
-            polys[q] = (inst_coeffs[col.index], inst_evals[q.index])
+            polys[q] = (poly_of(("instance", col.index)), inst_evals[q.index])
         elif q.kind == "advice":
             col, rot = cs.advice_queries[q.index]
-            polys[q] = (adv_coeffs[col.index], adv_evals[q.index])
+            polys[q] = (poly_of(("advice", col.index)), adv_evals[q.index])
         elif q.kind == "fixed":
             col, rot = cs.fixed_queries[q.index]
-            polys[q] = (fix_coeffs[col.index], fix_evals[q.index])
+            polys[q] = (poly_of(("fixed", col.index)), fix_evals[q.index])
         elif q.kind == "perm_z":
             polys[q] = (
-                permz_coeffs[q.index],
+                poly_of(("perm_z", q.index)),
                 perm_ev[q.index][0] if q.rotation == 0 else perm_ev[q.index][1],
             )
         elif q.kind == "perm_z_last":
-            polys[q] = (permz_coeffs[q.index], perm_ev[q.index][2])
+            polys[q] = (poly_of(("perm_z", q.index)), perm_ev[q.index][2])
         elif q.kind == "lookup_z":
             polys[q] = (
-                lookup_coeffs[q.index]["z"],
+                poly_of(("lookup_z", q.index)),
                 lookup_ev[q.index][0] if q.rotation == 0 else lookup_ev[q.index][1],
             )
         elif q.kind == "lookup_a":
             polys[q] = (
-                lookup_coeffs[q.index]["a_prime"],
+                poly_of(("lookup_a", q.index)),
                 lookup_ev[q.index][2] if q.rotation == 0 else lookup_ev[q.index][3],
             )
         elif q.kind == "lookup_s":
-            polys[q] = (lookup_coeffs[q.index]["s_prime"], lookup_ev[q.index][4])
+            polys[q] = (poly_of(("lookup_s", q.index)), lookup_ev[q.index][4])
         elif q.kind == "sigma":
-            polys[q] = (sig_coeffs[q.index], sigma_evals[q.index])
+            polys[q] = (poly_of(("sigma", q.index)), sigma_evals[q.index])
         elif q.kind == "vanishing_h":
-            polys[q] = (h_folded_m, h_eval)
+            polys[q] = (h_folded, h_eval)
         elif q.kind == "vanishing_r":
-            polys[q] = (r_coeffs, r_eval)
+            polys[q] = (poly_of(("vanishing_r", 0)), r_eval)
         else:
             raise KeyError(q.kind)
 
     for rot, qs in rotation_sets(sched):
-        if rot >= 0:
-            z_pt = x * pow(omega, rot, R) % R
-        else:
-            z_pt = x * pow(omega_inv, -rot, R) % R
+        z_pt = z_of(rot)
         fc = polys[qs[0]][0].copy()
         fe = polys[qs[0]][1]
         for q in qs[1:]:
             c, e = polys[q]
             native.fr_fold_inplace(fc, c, v_m.reshape(-1))
             fe = (fe * v + e) % R
-        # numer = fc with constant term shifted by -fe; divide_linear never
-        # reads coeff 0, so pass fc directly (same quotient)
-        q_coeffs = native.fr_divide_linear(fc, mont_scalar(z_pt).reshape(-1))
-        t.write_point(commit(from_mont(dom.ntt(q_coeffs))))
+        if bary is not None:
+            # eval-form witness: W_i = (fc_i - fe) / (x_i - z), then
+            # commit straight from the Lagrange basis — no synthetic
+            # division, no NTT; bit-identical commitment (the same
+            # degree <= n-2 polynomial, engine.Barycentric docstring)
+            t.write_point(commit(from_mont(bary.witness_evals(fc, fe, z_pt))))
+        else:
+            # numer = fc with constant term shifted by -fe; divide_linear
+            # never reads coeff 0, so pass fc directly (same quotient)
+            q_coeffs = native.fr_divide_linear(
+                fc, mont_scalar(z_pt).reshape(-1)
+            )
+            t.write_point(commit(from_mont(dom.ntt(q_coeffs))))
     log("multiopen witnesses")
 
     return t.finalize()

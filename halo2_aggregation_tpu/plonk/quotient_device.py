@@ -288,12 +288,56 @@ class DeviceQuotient:
         import jax.numpy as jnp
 
         assert not self._finalized, "feed() after finalize()"
+        assert getattr(self, "_mode", "coeff") == "coeff", (
+            "cannot mix feed() and feed_evals() on one engine"
+        )
+        self._mode = "coeff"
         if self.use_pallas:
             a = np.ascontiguousarray(col_u64, dtype="<u8")[self.bitrev_np]
             part = np.ascontiguousarray(a.view(np.uint8).reshape(self.n, 32).T)
             self._parts[key] = jax.device_put(part)
         else:
             self.store[key] = jnp.asarray(_pack_host(col_u64))
+
+    def feed_evals(self, key, col_m):
+        """Ship one column as natural-order Montgomery EVALUATIONS — the
+        device does the INTT (the coupled device-prover move: the host
+        never computes coefficients at all; step 7 evaluations and the
+        multiopen witnesses run from values via engine.Barycentric).
+
+        On the Pallas path this is free machinery: the group stacks
+        simply start in the "eval" domain at shift 1, and the first
+        run_coset takes the SAME round-trip (device DIF INTT -> ratio
+        power-series scale -> DIT NTT) every later coset already takes —
+        exact mod r throughout, so h stays byte-identical (and the host
+        bit-reverse permutation of feed() disappears too: the DIT NTT
+        wants bit-reversed coefficients, which is exactly what the
+        device DIF INTT emits).  The XLA/CPU path (tests) INTTs on the
+        host here — same bytes, no device INTT kernels to exercise."""
+        import jax
+        import jax.numpy as jnp
+
+        assert not self._finalized, "feed_evals() after finalize()"
+        assert getattr(self, "_mode", "eval") == "eval", (
+            "cannot mix feed() and feed_evals() on one engine"
+        )
+        self._mode = "eval"
+        if self.use_pallas:
+            part = np.ascontiguousarray(
+                np.ascontiguousarray(col_m, dtype="<u8")
+                .view(np.uint8)
+                .reshape(self.n, 32)
+                .T
+            )
+            self._parts[key] = jax.device_put(part)
+        else:
+            from .engine import NativeDomain
+
+            if not hasattr(self, "_host_dom"):
+                self._host_dom = NativeDomain(self.k)
+            self.store[key] = jnp.asarray(
+                _pack_host(self._host_dom.intt(col_m))
+            )
 
     def finalize(self):
         """Assemble the per-GROUP engine stacks + device tables once
@@ -365,12 +409,17 @@ class DeviceQuotient:
             )
             np.asarray(self.tws[0][:1, :1])
             tlog("twiddles (fwd + inv)")
-            # round-trip state: the group stacks start as bit-reversed
-            # COEFFICIENT columns; after each run_coset they hold that
-            # coset's EVALUATIONS (shift factor recorded), which the next
-            # run_coset round-trips back through the device INTT instead
-            # of keeping a second full-width stack resident
-            self._domain = "coeff"
+            # round-trip state: with feed(), the group stacks start as
+            # bit-reversed COEFFICIENT columns; with feed_evals(), as the
+            # shift-1 domain EVALUATIONS (the first run_coset then takes
+            # the same INTT round-trip every later coset takes).  After
+            # each run_coset they hold that coset's EVALUATIONS (shift
+            # factor recorded), which the next run_coset round-trips back
+            # through the device INTT instead of keeping a second
+            # full-width stack resident
+            self._domain = (
+                "eval" if getattr(self, "_mode", "coeff") == "eval" else "coeff"
+            )
             self._cur_shift = 1
 
             import jax

@@ -48,11 +48,16 @@ def _load():
         src = os.path.abspath(_SRC)
         so = os.path.abspath(_SO)
         if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+            # build to a temp file + atomic rename: rebuilding in place
+            # would TRUNCATE a .so another live process (e.g. a running
+            # Phase-D prove) still has mmapped and SIGBUS it
+            tmp = so + f".build.{os.getpid()}"
             subprocess.run(
-                ["g++", "-O3", "-fopenmp", "-shared", "-fPIC", "-o", so, src],
+                ["g++", "-O3", "-fopenmp", "-shared", "-fPIC", "-o", tmp, src],
                 check=True,
                 capture_output=True,
             )
+            os.replace(tmp, so)
         lib = ctypes.CDLL(so)
         lib.h2a_g1_msm.argtypes = [
             _U64P, _U8P, _U64P, ctypes.c_size_t, ctypes.c_int, _U64P,
@@ -83,6 +88,7 @@ def _load():
             _U64P, ctypes.c_size_t, _U64P, _U64P,
         ]
         lib.h2a_fr_fold.argtypes = [_U64P, _U64P, _U64P, ctypes.c_size_t]
+        lib.h2a_fr_dot.argtypes = [_U64P, _U64P, ctypes.c_size_t, _U64P]
         lib.h2a_miller_loop.argtypes = [
             _U64P, ctypes.c_int, _U64P, ctypes.c_int, _U64P,
         ]
@@ -288,6 +294,16 @@ def fr_divide_linear(coeffs, z_mont) -> np.ndarray:
 def fr_fold_inplace(acc: np.ndarray, x, v_mont):
     """acc = acc * v + x, elementwise."""
     _lib().h2a_fr_fold(_p(acc), _p(_cc(x)), _p(_cc(v_mont)), acc.shape[0])
+
+
+def fr_dot(a, b) -> np.ndarray:
+    """sum_i a[i] * b[i] over (n, 4)-u64 Montgomery columns -> (4,) mont.
+    OpenMP-parallel (no sequential dependency, unlike fr_horner) — one
+    call per (query, point) in the prover's barycentric evaluations."""
+    aa, bb = _cc(a), _cc(b)
+    out = np.empty(4, dtype=np.uint64)
+    _lib().h2a_fr_dot(_p(aa), _p(bb), aa.shape[0], _p(out))
+    return out
 
 
 def fq_batch_sqrt(vals_u64: np.ndarray):

@@ -865,6 +865,31 @@ void h2a_fr_fold(u64 *acc, const u64 *x, const u64 *v4, size_t n) {
     fr_add(frp(acc)[i], t, frp(x)[i]);
   }
 }
+
+// dot product: out = sum_i a[i] * b[i] (Montgomery form).  Backs the
+// prover's barycentric evaluations (one dot per (query, point) against
+// the shared weight vector w_i = omega^i / (z - omega^i)) — unlike
+// h2a_fr_horner it has no sequential dependency, so it parallelizes.
+void h2a_fr_dot(const u64 *a, const u64 *b, size_t n, u64 *out4) {
+  const Fr *av = frp(a);
+  const Fr *bv = frp(b);
+  Fr total;
+  memset(total.v, 0, 32);
+#pragma omp parallel
+  {
+    Fr local;
+    memset(local.v, 0, 32);
+#pragma omp for schedule(static) nowait
+    for (size_t i = 0; i < n; i++) {
+      Fr t;
+      fr_mont_mul(t, av[i], bv[i]);
+      fr_add(local, local, t);
+    }
+#pragma omp critical
+    fr_add(total, total, local);
+  }
+  *frp(out4) = total;
+}
 }
 
 // ===========================================================================
