@@ -134,6 +134,39 @@ def keygen_native(params: Params, cs: ConstraintSystem, assignment: Assignment):
     n = 1 << k
     assert assignment.n == params.n
     fixed_plain = [engine.col_from_ints(col) for col in assignment.fixed]
+
+    # start the device-quotient static upload NOW: fixed/sigma/selector
+    # columns are proof-independent, and shipping them during the ~150s
+    # of keygen commits below keeps their tunnel H2D (and its host-CPU
+    # relay share) off the prove's critical path.  The handle rides on
+    # the returned pk; create_proof_native consumes it.
+    pre = None
+    try:
+        from . import quotient_device as qd
+
+        if qd._pallas_engine_active(k):
+            pre = qd.StaticPreload(k)
+            bf = cs.blinding_factors()
+            usable = n - bf - 1
+            skeys = set(qd.preload_static_keys(cs))
+
+            def onehot(rows):
+                col = np.zeros((n, 4), np.uint64)
+                col[list(rows), 0] = 1
+                return col
+
+            for key in skeys:
+                if key == ("l0", 0):
+                    pre.add_plain(key, onehot([0]))
+                elif key == ("llast", 0):
+                    pre.add_plain(key, onehot([usable]))
+                elif key == ("lblind", 0):
+                    pre.add_plain(key, onehot(range(usable + 1, n)))
+                elif key[0] == "fixed":
+                    pre.add_plain(key, fixed_plain[key[1]])
+    except Exception:
+        pre = None
+
     fixed_comms = [params.commit_lagrange(c) for c in fixed_plain]
 
     cp, rp = assignment.build_permutation_arrays()
@@ -148,8 +181,15 @@ def keygen_native(params: Params, cs: ConstraintSystem, assignment: Assignment):
             2, np.ascontiguousarray(deltas_m[cp[ci]]), 0,
             np.ascontiguousarray(omega_pows_m[rp[ci]]), 0, n,
         )
+        if pre is not None:
+            try:
+                pre.add_mont(("sigma", ci), col_m)
+            except Exception:
+                pre = None
         sig_cols.append(engine.from_mont(col_m))
     sigma_comms = [params.commit_lagrange(c) for c in sig_cols]
     vk = VerifyingKey(k, cs, fixed_comms, sigma_comms)
     pk = ProvingKey(vk, fixed_plain, sig_cols, None)
+    if pre is not None:
+        pk._device_static = pre
     return vk, pk

@@ -151,8 +151,27 @@ def create_proof_native(
     evm: dict = {}  # key -> (n, 4) u64 mont VALUE column
     _coeffs: dict = {}  # key -> (n, 4) u64 mont coefficient column (lazy)
 
+    # adopt the keygen-time static preload (fixed/sigma/selector device
+    # parts + their host mont values) if this pk carries one — those
+    # columns' H2D already happened during keygen
+    preloaded_keys = frozenset()
+    pre = getattr(pk, "_device_static", None)
+    if (
+        dq is not None
+        and pre is not None
+        and pre.k == k
+        and dq.use_pallas
+        and set(pre.parts) <= dq_keys
+    ):
+        pk._device_static = None  # single-use: finalize consumes the parts
+        dq.adopt_static(pre.parts)
+        evm.update(pre.evm)
+        preloaded_keys = frozenset(pre.evm)
+
     def register(key, plain_col) -> None:
         nonlocal dq
+        if key in preloaded_keys:
+            return
         m = to_mont(plain_col)
         evm[key] = m
         if dq is not None and key in dq_keys:
@@ -200,6 +219,8 @@ def create_proof_native(
     inst_comms = [commit(c) for c in inst_plain]
     for c in inst_comms:
         t.common_point(c)
+    for i, c in enumerate(inst_plain):
+        register(("instance", i), c)
 
     # --- 1. advice commitments (verifier.rs:365-376) ------------------------
     # raw (pre-blind) advice is what lookup compression and the permutation
@@ -215,11 +236,8 @@ def create_proof_native(
         col[usable:] = ints_to_u64([_rand_fr(rng) for _ in range(n - usable)])
         advice_plain.append(col)
         t.write_point(commit(col))
+        register(("advice", ci), col)
     log("advice committed")
-    for i, c in enumerate(inst_plain):
-        register(("instance", i), c)
-    for i, c in enumerate(advice_plain):
-        register(("advice", i), c)
 
     theta = t.squeeze_challenge()
     theta_m = mont_scalar(theta)

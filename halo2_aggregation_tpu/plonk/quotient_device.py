@@ -113,6 +113,124 @@ def native_twiddles(k: int, ntp=None, omega_nat_u8=None, omega_int=None):
 MONT_R = 1 << 256
 
 
+def leaf_schedule(cs: ConstraintSystem, bf: int, num_chunks: int):
+    """The engine's stable, deduped (key, rot) leaf order and the
+    distinct-column order derived from it — shared by DeviceQuotient
+    and the keygen-time static preload so their key sets agree."""
+    sched: list = []
+    seen = set()
+
+    def add(key, rot):
+        if (key, rot) not in seen:
+            seen.add((key, rot))
+            sched.append((key, rot))
+
+    for c, rot in cs.advice_queries:
+        add(("advice", c.index), rot.value)
+    for c, rot in cs.fixed_queries:
+        add(("fixed", c.index), rot.value)
+    for c, rot in cs.instance_queries:
+        add(("instance", c.index), rot.value)
+    for i in range(len(cs.permutation_columns)):
+        add(("sigma", i), 0)
+    for ci in range(num_chunks):
+        add(("perm_z", ci), 0)
+        add(("perm_z", ci), 1)
+        if ci < num_chunks - 1:
+            add(("perm_z", ci), -(bf + 1))
+    for li in range(len(cs.lookups)):
+        add(("lookup_z", li), 0)
+        add(("lookup_z", li), 1)
+        add(("lookup_a", li), 0)
+        add(("lookup_a", li), -1)
+        add(("lookup_s", li), 0)
+    add(("l0", 0), 0)
+    add(("llast", 0), 0)
+    add(("lblind", 0), 0)
+    key_order = []
+    seen_k = set()
+    for key, _ in sched:
+        if key not in seen_k:
+            seen_k.add(key)
+            key_order.append(key)
+    return sched, key_order
+
+
+def _pallas_engine_active(k: int) -> bool:
+    """Would DeviceQuotient take the Pallas path at this k?  (Mirrors
+    prover_native._use_device_quotient + the use_pallas gate without
+    importing the prover — no cycle.)"""
+    import os
+
+    v = os.environ.get("H2A_DEVICE_QUOTIENT", "auto")
+    if v == "0":
+        return False
+    if v != "1" and (k < 15 or k > 23):
+        return False
+    if os.environ.get("H2A_PALLAS_NTT", "1") != "1":
+        return False
+    try:
+        import jax
+
+        from ..ops import ntt_pallas as ntp
+
+        if k < ntp.LOCAL_STAGES:
+            return False
+        return any(
+            kk in jax.default_backend().lower() for kk in ("tpu", "axon")
+        ) or jax.devices()[0].platform.lower() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+class StaticPreload:
+    """Device-resident natural-order mont VALUE parts for the
+    proof-independent columns (fixed / sigma / selector one-hots),
+    built by keygen_native and attached to the ProvingKey — their
+    ~60% share of the device stack ships through the 7-14MB/s tunnel
+    during the keygen commit window instead of stealing 2-core CPU
+    from the prove's commit stages (the async-H2D relay is host-CPU
+    bound here; docs/PHASE_D_n1_k21_r5b_run.log measured stages 1-4 at
+    260s vs 142s in round 4 purely from overlapped upload).  Consumed
+    by the next create_proof_native on the same pk."""
+
+    def __init__(self, k: int):
+        self.k = k
+        self.n = 1 << k
+        self.parts = {}  # key -> device (32, n) u8
+        self.evm = {}  # key -> host (n, 4) u64 mont values
+
+    def add_plain(self, key, plain_col):
+        from .engine import to_mont
+
+        self.add_mont(key, to_mont(plain_col))
+
+    def add_mont(self, key, col_m):
+        import jax
+
+        self.evm[key] = col_m
+        part = np.ascontiguousarray(
+            np.ascontiguousarray(col_m, dtype="<u8")
+            .view(np.uint8)
+            .reshape(self.n, 32)
+            .T
+        )
+        self.parts[key] = jax.device_put(part)
+
+
+def preload_static_keys(cs: ConstraintSystem) -> list:
+    """The static (proof-independent) subset of the engine key order."""
+    bf = cs.blinding_factors()
+    chunk_len = cs.degree() - 2
+    num_chunks = (len(cs.permutation_columns) + chunk_len - 1) // chunk_len
+    _, key_order = leaf_schedule(cs, bf, num_chunks)
+    return [
+        key
+        for key in key_order
+        if key[0] in ("fixed", "sigma", "l0", "llast", "lblind")
+    ]
+
+
 def available() -> bool:
     try:
         import jax  # noqa: F401
@@ -214,46 +332,12 @@ class DeviceQuotient:
             self.twiddles = tuple(jnp.asarray(t) for t in plan.stage_twiddles)
             self.store = {}
 
-        # leaf schedule: stable, deduped (key, rot) order
-        sched: list = []
-        seen = set()
-
-        def add(key, rot):
-            if (key, rot) not in seen:
-                seen.add((key, rot))
-                sched.append((key, rot))
-
-        for c, rot in cs.advice_queries:
-            add(("advice", c.index), rot.value)
-        for c, rot in cs.fixed_queries:
-            add(("fixed", c.index), rot.value)
-        for c, rot in cs.instance_queries:
-            add(("instance", c.index), rot.value)
-        for i in range(len(cs.permutation_columns)):
-            add(("sigma", i), 0)
-        for ci in range(self.num_chunks):
-            add(("perm_z", ci), 0)
-            add(("perm_z", ci), 1)
-            if ci < self.num_chunks - 1:
-                add(("perm_z", ci), -(self.bf + 1))
-        for li in range(len(cs.lookups)):
-            add(("lookup_z", li), 0)
-            add(("lookup_z", li), 1)
-            add(("lookup_a", li), 0)
-            add(("lookup_a", li), -1)
-            add(("lookup_s", li), 0)
-        add(("l0", 0), 0)
-        add(("llast", 0), 0)
-        add(("lblind", 0), 0)
-        self.schedule = sched
-        # distinct columns in schedule order — the canonical upload /
-        # group-stack order (feed() may arrive in any order)
-        self.key_order = []
-        seen_k = set()
-        for key, _ in sched:
-            if key not in seen_k:
-                seen_k.add(key)
-                self.key_order.append(key)
+        # leaf schedule: stable, deduped (key, rot) order; key_order is
+        # the canonical upload / group-stack order (feed() may arrive
+        # in any order)
+        self.schedule, self.key_order = leaf_schedule(
+            cs, self.bf, self.num_chunks
+        )
 
         if columns is not None:
             for key, col in columns.items():
@@ -338,6 +422,18 @@ class DeviceQuotient:
             self.store[key] = jnp.asarray(
                 _pack_host(self._host_dom.intt(col_m))
             )
+
+    def adopt_static(self, parts: dict):
+        """Seed the engine with device parts a keygen-time StaticPreload
+        already shipped (natural-order mont VALUES, same layout as
+        feed_evals) — those columns' H2D happened during keygen."""
+        assert not self._finalized, "adopt_static() after finalize()"
+        assert getattr(self, "_mode", "eval") == "eval", (
+            "cannot mix feed() with preloaded eval parts"
+        )
+        assert self.use_pallas, "static preload is Pallas-path only"
+        self._mode = "eval"
+        self._parts.update(parts)
 
     def finalize(self):
         """Assemble the per-GROUP engine stacks + device tables once
@@ -439,6 +535,26 @@ class DeviceQuotient:
 
             self._first_fn = jax.jit(first_step, donate_argnums=(0,))
             self._round_fn = jax.jit(round_step, donate_argnums=(0,))
+
+            def intt_step(Xg, tws_i, ninv):
+                return ntp.intt_batched_u8(Xg, tws_i, ninv, k_, CG_)
+
+            # keep-coefficients mode (small k): hold a pristine bitrev-
+            # coefficient stack and run each coset as scale+NTT from it
+            # (the round-4 schedule: ~half the per-coset butterfly work
+            # of the INTT round trip) — only when TWO stacks fit HBM
+            # comfortably (k<=21 for the aggregation circuits; the
+            # round-trip layout remains the k=22/23 path).
+            self._intt_fn = jax.jit(intt_step, donate_argnums=(0,))
+            self._scale_ntt_fn = jax.jit(first_step)  # no donation
+            self._cgroups = None
+            import os
+
+            v = os.environ.get("H2A_DQ_KEEP_COEFFS", "auto")
+            two_stacks = 2 * len(self._groups) * CG * fo.NLIMBS * self.n
+            self.keep_coeffs = v == "1" or (
+                v == "auto" and two_stacks <= (11 << 30)
+            )
             self._tile_fn = None  # built lazily (jitted fused kernel)
         else:
             self.keys = list(self.store.keys())
@@ -825,25 +941,58 @@ class DeviceQuotient:
             # stays resident instead of coefficients + extension (the
             # k>=22 OOM of the round-4 layout).  All values exact mod p
             # throughout, so h stays byte-identical to the host loop.
-            if self._domain == "coeff":
-                ratio = shift % R
-                step_fn = lambda Xg, sp: self._first_fn(Xg, sp, self.tws)
-            else:
-                ratio = shift * pow(self._cur_shift, -1, R) % R
-                step_fn = lambda Xg, sp: self._round_fn(
-                    Xg, sp, self.tws, self.tws_inv, self._ninv_tile
+            if self.keep_coeffs:
+                # scale+NTT from the pristine coefficient stack (built
+                # once: eval-fed groups take ONE device INTT first)
+                sp = force(
+                    ntp.pow_series_bitrev_u8(shift % R, self.k, self.bitrev_np)
                 )
-            sp = force(ntp.pow_series_bitrev_u8(ratio, self.k, self.bitrev_np))
-            for gi in range(len(self._groups)):
-                Xg = self._groups[gi]
-                self._groups[gi] = None  # donated: old buffer is dead
-                # force each group before the next: the axon backend
-                # defers work until a D2H, and an unbounded deferred
-                # graph keeps every group's transient buffers live
-                self._groups[gi] = force(step_fn(Xg, sp))
-            del sp
-            self._domain = "eval"
-            self._cur_shift = shift
+                if self._cgroups is None:
+                    if self._domain == "coeff":
+                        self._cgroups = self._groups
+                    else:
+                        self._cgroups = []
+                        for gi in range(len(self._groups)):
+                            Xg = self._groups[gi]
+                            self._groups[gi] = None
+                            self._cgroups.append(
+                                force(
+                                    self._intt_fn(
+                                        Xg, self.tws_inv, self._ninv_tile
+                                    )
+                                )
+                            )
+                    self._groups = [None] * len(self._cgroups)
+                for gi in range(len(self._cgroups)):
+                    self._groups[gi] = None  # previous coset's evals die
+                    self._groups[gi] = force(
+                        self._scale_ntt_fn(self._cgroups[gi], sp, self.tws)
+                    )
+                del sp
+                self._domain = "eval"
+                self._cur_shift = shift
+            else:
+                if self._domain == "coeff":
+                    ratio = shift % R
+                    step_fn = lambda Xg, sp: self._first_fn(Xg, sp, self.tws)
+                else:
+                    ratio = shift * pow(self._cur_shift, -1, R) % R
+                    step_fn = lambda Xg, sp: self._round_fn(
+                        Xg, sp, self.tws, self.tws_inv, self._ninv_tile
+                    )
+                sp = force(
+                    ntp.pow_series_bitrev_u8(ratio, self.k, self.bitrev_np)
+                )
+                for gi in range(len(self._groups)):
+                    Xg = self._groups[gi]
+                    self._groups[gi] = None  # donated: old buffer is dead
+                    # force each group before the next: the axon backend
+                    # defers work until a D2H, and an unbounded deferred
+                    # graph keeps every group's transient buffers live
+                    self._groups[gi] = force(step_fn(Xg, sp))
+                del sp
+                self._domain = "eval"
+                self._cur_shift = shift
 
             mont = lambda v: v * MONT_R % R
             cx_u8 = ntp.ew_mul_scalar_u8(

@@ -16,10 +16,14 @@
 //
 // Build: g++ -O3 -fopenmp -shared -fPIC -o libh2a_native.so h2a_native.cpp
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <thread>
 #include <vector>
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 typedef unsigned __int128 u128;
 typedef uint64_t u64;
@@ -785,9 +789,8 @@ void h2a_fr_ntt(u64 *data, uint32_t k, const u64 *omega4) {
   }
 }
 
-// in-place batch inversion (Montgomery form); zeros map to zero.
-void h2a_fr_batch_inv(u64 *data, size_t n) {
-  Fr *a = frp(data);
+// serial Montgomery-batch-inversion core (zeros map to zero)
+static void fr_batch_inv_serial(Fr *a, size_t n) {
   std::vector<Fr> prefix(n);
   Fr run;
   memcpy(run.v, FR_R1, 32);
@@ -806,6 +809,29 @@ void h2a_fr_batch_inv(u64 *data, size_t n) {
       fr_mont_mul(a[i], inv_run, prefix[i - 1]);
     }
     fr_mont_mul(inv_run, inv_run, ai);
+  }
+}
+
+// in-place batch inversion (Montgomery form); zeros map to zero.
+// Parallel over chunks — each chunk pays one extra fr_inv (a fixed
+// 254-bit modexp), negligible against the 3n sequential muls it halves
+// (the prover's barycentric denominators are 2^21+ rows).
+void h2a_fr_batch_inv(u64 *data, size_t n) {
+  Fr *a = frp(data);
+  if (n < (1 << 14)) {
+    fr_batch_inv_serial(a, n);
+    return;
+  }
+  int nthreads = 1;
+#ifdef _OPENMP
+  nthreads = omp_get_max_threads();
+#endif
+  size_t nchunks = (size_t)(nthreads > 0 ? nthreads : 1);
+  size_t chunk = (n + nchunks - 1) / nchunks;
+#pragma omp parallel for schedule(static)
+  for (size_t c = 0; c < nchunks; c++) {
+    size_t lo = c * chunk;
+    if (lo < n) fr_batch_inv_serial(a + lo, std::min(chunk, n - lo));
   }
 }
 
