@@ -30,7 +30,6 @@ from .engine import (
     NativeDomain,
     NativeVecOps,
     col_from_ints,
-    col_to_ints,
     eval_at,
     from_mont,
     mont_scalar,
@@ -52,7 +51,81 @@ from .protocol import (
     rotation_sets,
     compress_expressions,
 )
-from .prover import _permute_lookup, _rand_fr
+from .prover import _rand_fr
+
+
+def _permute_lookup_u64(a_plain: np.ndarray, s_plain: np.ndarray, usable: int):
+    """Vectorized halo2 permute_expression_pair over (n, 4)-u64 plain
+    canonical columns — replaces the Python-int sorted()/Counter path
+    (~20s single-core at 2^21) with numpy lexsorts (~3s).
+
+    Bit-identical to prover._permute_lookup (pinned by the
+    test_prover_native byte-parity suite): A' is A sorted by integer
+    value (lexsort, most-significant limb primary); each FIRST
+    occurrence of a distinct A' value consumes one matching table
+    entry; repeat rows are filled with the leftover table entries in
+    first-occurrence-in-S order — exactly Counter.elements() insertion
+    order, reproduced here via a per-run min of the original S indices.
+
+    Raises ValueError if some input value is missing from the table
+    (same contract as the reference's permute_expression_pair,
+    lookup.rs)."""
+    a = np.ascontiguousarray(a_plain[:usable], dtype=np.uint64)
+    s = np.ascontiguousarray(s_plain[:usable], dtype=np.uint64)
+    order_a = np.lexsort((a[:, 0], a[:, 1], a[:, 2], a[:, 3]))
+    a_sorted = np.ascontiguousarray(a[order_a])
+    order_s = np.lexsort((s[:, 0], s[:, 1], s[:, 2], s[:, 3]))
+    s_sorted = np.ascontiguousarray(s[order_s])
+
+    def rows_differ(x):  # x sorted: True where row i != row i-1
+        d = np.empty(x.shape[0], dtype=bool)
+        d[0] = True
+        np.any(x[1:] != x[:-1], axis=1, out=d[1:])
+        return d
+
+    new_a = rows_differ(a_sorted)  # first occurrence of each distinct A'
+    new_s = rows_differ(s_sorted)
+    # distinct values + per-run bookkeeping for S
+    s_starts = np.flatnonzero(new_s)
+    s_counts = np.diff(np.append(s_starts, len(s_sorted)))
+    s_first = np.minimum.reduceat(order_s, s_starts)  # original 1st index
+    s_vals = s_sorted[s_starts]
+    a_vals = a_sorted[new_a]
+    # match each distinct A' value to its S run (both value-sorted)
+    pos = _match_sorted_rows(s_vals, a_vals)
+    if pos is None:
+        raise ValueError("lookup failure: input value not in table")
+    consumed = np.zeros(len(s_vals), dtype=np.int64)
+    consumed[pos] = 1
+    leftover = s_counts - consumed
+    # leftovers ordered by first occurrence in the ORIGINAL S
+    # (Counter insertion order), runs kept contiguous
+    rest_runs = np.argsort(s_first, kind="stable")
+    rest_vals = np.repeat(rest_runs, leftover[rest_runs])
+    s_prime = np.empty_like(a_sorted)
+    s_prime[new_a] = a_vals
+    s_prime[~new_a] = s_vals[rest_vals]
+    return a_sorted, s_prime
+
+
+def _match_sorted_rows(s_vals: np.ndarray, a_vals: np.ndarray):
+    """Index of each a_vals row inside s_vals (both sorted by the same
+    integer order, rows unique); None if any row is absent.  Binary
+    search over packed big-endian byte keys — bytes compare
+    lexicographically, which matches the integer order."""
+    be_s = _pack_be(s_vals)
+    be_a = _pack_be(a_vals)
+    pos = np.searchsorted(be_s, be_a)
+    if np.any(pos >= len(be_s)) or np.any(be_s[pos] != be_a):
+        return None
+    return pos
+
+
+def _pack_be(rows: np.ndarray) -> np.ndarray:
+    """(n, 4) little-endian-limb u64 -> (n,) |S32 big-endian packed keys
+    whose byte order sorts identically to the integer value."""
+    be = rows[:, ::-1].astype(">u8")  # most-significant limb first
+    return np.ascontiguousarray(be).view("S32").ravel()
 
 
 def _use_device_quotient(k: int = 99) -> bool:
@@ -267,13 +340,14 @@ def create_proof_native(
         s_comp_m = compress_expressions(
             ops, arg.table_expressions, theta_m, adv_leaf_m, fix_leaf_m, inst_leaf_m
         )
-        a_ints = col_to_ints(from_mont(a_comp_m))
-        s_ints = col_to_ints(from_mont(s_comp_m))
-        ap, sp = _permute_lookup(a_ints, s_ints, usable)
-        a_prime = ap + [_rand_fr(rng) for _ in range(n - usable)]
-        s_prime = sp + [_rand_fr(rng) for _ in range(n - usable)]
-        ap_plain = col_from_ints(a_prime)
-        sp_plain = col_from_ints(s_prime)
+        ap_u, sp_u = _permute_lookup_u64(
+            from_mont(a_comp_m), from_mont(s_comp_m), usable
+        )
+        # rng draw order matches the spec prover: a blinds, then s blinds
+        blinds_a = ints_to_u64([_rand_fr(rng) for _ in range(n - usable)])
+        blinds_s = ints_to_u64([_rand_fr(rng) for _ in range(n - usable)])
+        ap_plain = np.vstack([ap_u, blinds_a])
+        sp_plain = np.vstack([sp_u, blinds_s])
         lookups.append(
             {
                 "a_comp_m": a_comp_m,

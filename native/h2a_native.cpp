@@ -763,13 +763,25 @@ void h2a_fr_ntt(u64 *data, uint32_t k, const u64 *omega4) {
       a[j] = t;
     }
   }
-  // twiddle table: pows[t] = omega^t (Montgomery), t < n/2
-  Fr om, r2;
-  memcpy(r2.v, FR_R2, 32);
-  fr_mont_mul(om, *frp(omega4), r2);
-  std::vector<Fr> pows(n / 2);
-  memcpy(pows[0].v, FR_R1, 32);
-  for (size_t t = 1; t < n / 2; t++) fr_mont_mul(pows[t], pows[t - 1], om);
+  // twiddle table: pows[t] = omega^t (Montgomery), t < n/2 — built by a
+  // SEQUENTIAL mul chain, so cache the last (k, omega) table: a k=21
+  // prove calls this dozens of times with only two distinct roots per
+  // direction, and the 2^22-mul rebuild for the 2^23 ext INTT alone is
+  // seconds of single-core time.  (Process-global; callers are the
+  // serial prover loops.)
+  static std::vector<Fr> pows;
+  static uint32_t cached_k = 0;
+  static u64 cached_om[4] = {0, 0, 0, 0};
+  if (cached_k != k || memcmp(cached_om, omega4, 32) != 0) {
+    Fr om, r2;
+    memcpy(r2.v, FR_R2, 32);
+    fr_mont_mul(om, *frp(omega4), r2);
+    pows.assign(n / 2, Fr());
+    memcpy(pows[0].v, FR_R1, 32);
+    for (size_t t = 1; t < n / 2; t++) fr_mont_mul(pows[t], pows[t - 1], om);
+    cached_k = k;
+    memcpy(cached_om, omega4, 32);
+  }
 
   for (uint32_t s = 0; s < k; s++) {
     size_t half = (size_t)1 << s;
