@@ -146,6 +146,7 @@ def keygen_native(params: Params, cs: ConstraintSystem, assignment: Assignment):
 
         if qd._pallas_engine_active(k):
             pre = qd.StaticPreload(k)
+            pre.build_tables()
             bf = cs.blinding_factors()
             usable = n - bf - 1
             skeys = set(qd.preload_static_keys(cs))

@@ -237,7 +237,7 @@ def create_proof_native(
         and set(pre.parts) <= dq_keys
     ):
         pk._device_static = None  # single-use: finalize consumes the parts
-        dq.adopt_static(pre.parts)
+        dq.adopt_static(pre.parts, pre.tables)
         evm.update(pre.evm)
         preloaded_keys = frozenset(pre.evm)
 
@@ -541,11 +541,15 @@ def create_proof_native(
         h_ext_m[cj::step] = num
         log(f"quotient coset {cj + 1}/{step}")
 
+    import time as _time
+
+    _t0 = _time.time()
     ext_dom = NativeDomain(ext_k)
     h_coeffs_m = ext_dom.intt(h_ext_m)
     native.fr_scale_pows_inplace(
         h_coeffs_m, mont_scalar(pow(g, -1, R)).reshape(-1)
     )
+    log(f"  h ext intt+scale ({_time.time() - _t0:.1f}s)")
     qpd = cs.quotient_poly_degree()
     if h_coeffs_m.shape[0] < qpd * n:
         h_coeffs_m = np.vstack(
@@ -554,9 +558,12 @@ def create_proof_native(
     h_pieces_m = [h_coeffs_m[i * n : (i + 1) * n] for i in range(qpd)]
     h_piece_ev = []  # mont VALUE columns, kept for the eval-form fold
     for piece in h_pieces_m:
+        _t0 = _time.time()
         ev = dom.ntt(piece)
         h_piece_ev.append(ev)
+        _t1 = _time.time()
         t.write_point(commit(from_mont(ev)))
+        log(f"  h piece ntt {_t1 - _t0:.1f}s commit {_time.time() - _t1:.1f}s")
     log("quotient committed")
 
     x = t.squeeze_challenge()

@@ -199,6 +199,23 @@ class StaticPreload:
         self.n = 1 << k
         self.parts = {}  # key -> device (32, n) u8
         self.evm = {}  # key -> host (n, 4) u64 mont values
+        self.tables = None  # (omega_nat_u8, tws, tws_inv, ninv_tile)
+
+    def build_tables(self):
+        """Device omega ladder + DIT/DIF twiddle tables + 1/n tile —
+        k-only state the engine otherwise rebuilds per prove (~14s at
+        k=21: a device pow-series ladder plus a ~70-270MB twiddle H2D)."""
+        from ..ops import ntt_pallas as ntp
+
+        omega_nat_u8 = ntp.pow_series_u8(
+            fr_omega(self.k), self.k, np.arange(self.n, dtype=np.int64)
+        )
+        tws = native_twiddles(self.k, ntp, omega_nat_u8)
+        tws_inv = native_twiddles(
+            self.k, ntp, None, omega_int=pow(fr_omega(self.k), -1, R)
+        )
+        ninv_tile = ntp.scalar_tile(pow(1 << self.k, -1, R) * MONT_R % R)
+        self.tables = (omega_nat_u8, tws, tws_inv, ninv_tile)
 
     def add_plain(self, key, plain_col):
         from .engine import to_mont
@@ -423,10 +440,13 @@ class DeviceQuotient:
                 _pack_host(self._host_dom.intt(col_m))
             )
 
-    def adopt_static(self, parts: dict):
+    def adopt_static(self, parts: dict, tables=None):
         """Seed the engine with device parts a keygen-time StaticPreload
         already shipped (natural-order mont VALUES, same layout as
-        feed_evals) — those columns' H2D happened during keygen."""
+        feed_evals) — those columns' H2D happened during keygen.
+        `tables` optionally carries the preload's k-only device tables
+        (omega ladder, DIT/DIF twiddles, 1/n tile) so finalize skips
+        rebuilding them."""
         assert not self._finalized, "adopt_static() after finalize()"
         assert getattr(self, "_mode", "eval") == "eval", (
             "cannot mix feed() with preloaded eval parts"
@@ -434,6 +454,7 @@ class DeviceQuotient:
         assert self.use_pallas, "static preload is Pallas-path only"
         self._mode = "eval"
         self._parts.update(parts)
+        self._pre_tables = tables
 
     def finalize(self):
         """Assemble the per-GROUP engine stacks + device tables once
@@ -490,21 +511,32 @@ class DeviceQuotient:
             self._parts = None
             tlog(f"group stacks ({ngroups} x {CG} cols)")
             # natural-order omega powers (u8, device) feed the per-coset
-            # evaluation points — no host twiddle loop, no XLA ladder
-            self.omega_nat_u8 = ntp.pow_series_u8(
-                fr_omega(self.k), self.k, np.arange(self.n, dtype=np.int64)
-            )
-            np.asarray(self.omega_nat_u8[:1, :1])
-            tlog("omega ladder")
-            self.tws = self._twiddles_native(self.k)
-            self.tws_inv = native_twiddles(
-                self.k, ntp, None, omega_int=pow(fr_omega(self.k), -1, R)
-            )
-            self._ninv_tile = ntp.scalar_tile(
-                pow(1 << self.k, -1, R) * MONT_R % R
-            )
-            np.asarray(self.tws[0][:1, :1])
-            tlog("twiddles (fwd + inv)")
+            # evaluation points — no host twiddle loop, no XLA ladder.
+            # A keygen-time preload may carry all the k-only tables.
+            pre_tables = getattr(self, "_pre_tables", None)
+            if pre_tables is not None:
+                (
+                    self.omega_nat_u8,
+                    self.tws,
+                    self.tws_inv,
+                    self._ninv_tile,
+                ) = pre_tables
+                tlog("tables adopted from keygen preload")
+            else:
+                self.omega_nat_u8 = ntp.pow_series_u8(
+                    fr_omega(self.k), self.k, np.arange(self.n, dtype=np.int64)
+                )
+                np.asarray(self.omega_nat_u8[:1, :1])
+                tlog("omega ladder")
+                self.tws = self._twiddles_native(self.k)
+                self.tws_inv = native_twiddles(
+                    self.k, ntp, None, omega_int=pow(fr_omega(self.k), -1, R)
+                )
+                self._ninv_tile = ntp.scalar_tile(
+                    pow(1 << self.k, -1, R) * MONT_R % R
+                )
+                np.asarray(self.tws[0][:1, :1])
+                tlog("twiddles (fwd + inv)")
             # round-trip state: with feed(), the group stacks start as
             # bit-reversed COEFFICIENT columns; with feed_evals(), as the
             # shift-1 domain EVALUATIONS (the first run_coset then takes
