@@ -215,6 +215,13 @@ class StaticPreload:
             self.k, ntp, None, omega_int=pow(fr_omega(self.k), -1, R)
         )
         ninv_tile = ntp.scalar_tile(pow(1 << self.k, -1, R) * MONT_R % R)
+        # FORCE everything: the axon backend defers device work until a
+        # D2H, so without these the ladder compute and twiddle H2D would
+        # execute inside the prove's first coset instead of during
+        # keygen (measured +78s on coset 1, PHASE_D_n1_k21_r5f_run.log)
+        for arr in (omega_nat_u8, tws[0], tws[1], tws_inv[0], tws_inv[1],
+                    ninv_tile):
+            np.asarray(arr[:1, :1])
         self.tables = (omega_nat_u8, tws, tws_inv, ninv_tile)
 
     def add_plain(self, key, plain_col):
